@@ -1,0 +1,258 @@
+"""Typed run-configuration schema.
+
+Field names are kept compatible with the reference trainer configs
+(/root/reference/src/contrastors/config.py:8-241) so that existing YAML
+recipes parse unchanged, while adding TPU-specific knobs (mesh shape,
+attention kernel implementation, prefetch depth) that have no CUDA
+counterpart.
+"""
+
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+from pydantic import BaseModel, ConfigDict, field_validator, model_validator
+
+# OpenCLIP / OpenAI CLIP normalization constants (reference:
+# dataset/constants.py OPENAI_IMAGE_DATASET_MEAN/STD).
+OPENAI_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
+OPENAI_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+
+_DISTILL_LOSSES = ("mse", "kd", "towers", "stella")
+_POOLINGS = ("mean", "last", "cls", "map", "none")
+_MODEL_TYPES = ("encoder", "mlm", "glue", "image_text", "locked_text", "mmlm", "distill")
+
+
+class _Base(BaseModel):
+    # Ignore unknown keys so that reference YAMLs with fields we deliberately
+    # dropped (e.g. use_fp8, deepspeed) still parse.
+    model_config = ConfigDict(extra="ignore", validate_assignment=True)
+
+
+class TrainArgs(_Base):
+    num_epochs: int = 1
+    num_train_steps: Optional[int] = None
+    learning_rate: float
+    weight_decay: float = 0.0
+    eps: float = 1e-8
+    warmup_steps: Optional[int] = None
+    warmup_pct: Optional[float] = None
+    cooldown_steps: Optional[int] = None
+    checkpoint: Optional[str] = None
+    wandb: bool = False
+    wandb_project_name: Optional[str] = None
+    wandb_entity: Optional[str] = None
+    wandb_run_name: Optional[str] = None
+    wandb_group: Optional[str] = None
+    log_grads_every: int = 100
+    log_lr_every: int = 10
+    save_every: Optional[int] = None
+    eval_steps: Optional[int] = None
+    eval_strategy: Optional[str] = None
+    output_dir: Optional[str] = None
+    gradient_accumulation_steps: int = 1
+    schedule_type: str = "linear"
+    max_grad_norm: float = 1.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    loss_fn: Optional[str] = None
+    grad_cache: Optional[bool] = None
+    chunk_size: Optional[int] = None
+    clamp_logits: bool = True
+    logit_max: float = 100.0
+    add_l2_loss: bool = False
+    matryoshka_dims: Optional[List[int]] = None
+    matryoshka_loss_weights: Optional[List[float]] = None
+    profile: bool = False
+    router_aux_loss_coef: float = 0.001
+    distill_loss_fn: str = "mse"
+    distill_temperature: float = 1.0
+    seed: Optional[int] = None
+
+    @field_validator("logit_max", mode="before")
+    @classmethod
+    def _default_logit_max(cls, v):
+        return 100.0 if v is None else v
+
+    @field_validator("eval_strategy")
+    @classmethod
+    def _check_eval_strategy(cls, v):
+        if v is not None and v not in ("steps", "epochs"):
+            raise ValueError(f"unknown eval_strategy {v!r}; expected 'steps' or 'epochs'")
+        return v
+
+    @field_validator("distill_loss_fn")
+    @classmethod
+    def _check_distill(cls, v):
+        if v not in _DISTILL_LOSSES:
+            raise ValueError(f"unknown distill_loss_fn {v!r}; expected one of {_DISTILL_LOSSES}")
+        return v
+
+    @model_validator(mode="after")
+    def _cross_checks(self):
+        if self.eval_strategy == "steps" and self.eval_steps is None:
+            raise ValueError("eval_steps is required when eval_strategy='steps'")
+        if self.matryoshka_dims is not None and self.grad_cache:
+            raise ValueError("matryoshka_dims cannot be combined with grad_cache")
+        return self
+
+
+class DataArgs(_Base):
+    shuffle: bool = True
+    workers: int = 0
+    batch_size: int
+    seed: int = 42
+    val_pct: Optional[float] = None
+
+
+class MLMDataArgs(DataArgs):
+    tokenized_dataset: Optional[str] = None
+    mlm_prob: Optional[float] = None
+    eval_batch_size: Optional[int] = None
+    task_name: Optional[str] = None
+    val_mlm_prob: Optional[float] = None
+
+    @model_validator(mode="after")
+    def _checks(self):
+        if self.tokenized_dataset is None and self.task_name is None:
+            raise ValueError("one of tokenized_dataset / task_name must be set")
+        if self.tokenized_dataset is not None:
+            if self.mlm_prob is None or self.val_mlm_prob is None:
+                raise ValueError("mlm_prob and val_mlm_prob are required with tokenized_dataset")
+        for p in (self.mlm_prob, self.val_mlm_prob):
+            if p is not None and not (0.0 <= p <= 1.0):
+                raise ValueError("mlm probabilities must be in [0, 1]")
+        return self
+
+
+class ContrastiveDataArgs(DataArgs):
+    input_shards: str
+    download: bool = False
+    process_one_shard: bool = False
+    streaming: bool = True
+    weighted_sampling: bool = False
+    verbose: bool = False
+    seq_len: Optional[int] = None
+    sample_negatives: bool = True
+    query_max_length: Optional[int] = None
+    document_max_length: Optional[int] = None
+
+
+class ImageTextDataArgs(DataArgs):
+    image_text_shards: str
+    eval_batch_size: int
+    imagenet_val_path: Optional[str] = None
+    eval_flickr: bool = False
+    train_num_samples: Optional[int] = None
+    dataset_resampled: bool = False
+    mlm_prob: Optional[float] = None
+
+
+class ModelArgs(_Base):
+    model_type: str
+    logit_scale: float = 1 / 0.07
+    trainable_logit_scale: bool = False
+    seq_len: Optional[int] = None
+    rotary_emb_fraction: Optional[float] = None
+    rotary_emb_base: int = 10_000
+    pad_vocab_to_multiple_of: Optional[int] = None
+    use_rms_norm: Optional[bool] = None
+    pretrained: bool = True
+    checkpoint: Optional[str] = None
+    model_name: Optional[str] = None
+    pooling: Optional[str] = None
+    nomic_encoder: bool = False
+    add_prefix: bool = False
+    num_negatives: int = 7
+    tokenizer_name: Optional[str] = None
+    activation_function: str = "gelu"
+    qkv_proj_bias: bool = True
+    mlp_fc1_bias: bool = True
+    mlp_fc2_bias: bool = True
+    attn_pdrop: float = 0.0
+    projection_dim: Optional[int] = None
+    freeze: bool = False
+    precomputed: bool = False
+    gradient_checkpointing: bool = False
+    hamming: bool = False
+    ema: bool = False
+    patch_dropout: float = 0.0
+    num_experts: int = 0
+    moe_top_k: int = 1
+    ffn_div: int = 1
+    moe_normalize_expert_weights: bool = False
+    expert_choice_router: bool = False
+    num_shared_experts: int = 0
+    resid_pdrop: Optional[float] = None
+    moe_every_n_layers: int = 1
+    query_prefix: str = "search_query: "
+    document_prefix: str = "search_document: "
+    distill_init_pretrained: bool = False
+    # TPU-specific: which attention kernel to lower to.
+    attn_impl: str = "flash"  # "flash" (Pallas) | "sdpa" (XLA einsum)
+
+    @field_validator("logit_scale", mode="before")
+    @classmethod
+    def _default_logit_scale(cls, v):
+        return 1 / 0.07 if v is None else v
+
+    @field_validator("model_type")
+    @classmethod
+    def _check_model_type(cls, v):
+        if v not in _MODEL_TYPES:
+            raise ValueError(f"unknown model_type {v!r}; expected one of {_MODEL_TYPES}")
+        return v
+
+    @field_validator("pooling")
+    @classmethod
+    def _check_pooling(cls, v):
+        if v is not None and v not in _POOLINGS:
+            raise ValueError(f"unknown pooling {v!r}; expected one of {_POOLINGS}")
+        return v
+
+
+class AugmentationCfg(_Base):
+    scale: Tuple[float, float] = (0.9, 1.0)
+    ratio: Optional[Tuple[float, float]] = None
+    color_jitter: Optional[Union[float, Tuple[float, float, float]]] = None
+    interpolation: Optional[str] = None
+    re_prob: Optional[float] = None
+    re_count: Optional[int] = None
+
+
+class TransformsConfig(_Base):
+    image_size: Union[int, Tuple[int, int]] = 224
+    mean: Optional[Union[float, Tuple[float, float, float]]] = OPENAI_IMAGE_MEAN
+    std: Optional[Union[float, Tuple[float, float, float]]] = OPENAI_IMAGE_STD
+    resize_longest_max: bool = False
+    fill_color: int = 0
+    aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None
+
+
+class ParallelArgs(_Base):
+    """TPU mesh layout. All axes multiply to the total device count.
+
+    data: pure data parallel (batch sharding + embedding all-gather for the
+        contrastive loss). tensor/expert are optional scale-out axes with no
+        reference counterpart (the CUDA reference is DDP-only,
+        reference distributed.py:5-68).
+    """
+
+    data: int = -1  # -1 = all devices
+    tensor: int = 1
+    expert: int = 1
+    # shard optimizer state over the data axis (ZeRO-ish; reference uses
+    # DeepSpeed ZeRO-2, configs/deepspeed/ds_config.json)
+    shard_optimizer_state: bool = True
+    remat: bool = False  # jax.checkpoint each block
+    prefetch: int = 2  # host->device pipeline depth
+
+
+class Config(_Base):
+    train_args: TrainArgs
+    data_args: Optional[Union[MLMDataArgs, ImageTextDataArgs, ContrastiveDataArgs]] = None
+    text_data_args: Optional[ContrastiveDataArgs] = None
+    model_args: Optional[ModelArgs] = None
+    text_model_args: Optional[ModelArgs] = None
+    vision_model_args: Optional[ModelArgs] = None
+    tower_model_args: Optional[ModelArgs] = None
+    transforms: Optional[TransformsConfig] = None
+    parallel_args: ParallelArgs = ParallelArgs()

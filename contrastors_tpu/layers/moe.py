@@ -1,0 +1,131 @@
+"""Mixture-of-experts MLP, TPU-native.
+
+The reference consumes megablocks' dropless-MoE CUDA/Triton kernels
+(reference: layers/block.py:16-17,192-216) plus a naive torch.where loop
+fallback (layers/moe.py:26-96). Neither maps to TPU: block-sparse grouped
+matmuls on GPU become, on TPU, a fixed-capacity dispatch expressed as
+einsums that tile directly onto the MXU (the Switch/Mesh-TF formulation).
+
+Semantics preserved from the reference:
+  - router = linear, no bias (moe.py:11-23), logits in fp32;
+  - top-k over softmax(router_logits) WITHOUT renormalizing unless
+    moe_normalize_expert_weights (megablocks Arguments, block.py:203);
+  - fine-grained segmentation: expert hidden = n_inner // ffn_div;
+  - optional shared experts applied to every token (block.py:210-212);
+  - returns (output, router_logits) so the trainer can apply the
+    Switch-style load-balance loss (reference loss.py:13-73).
+
+Difference: megablocks is dropless; a fixed-capacity dispatch can drop
+tokens when routing is extremely unbalanced. capacity_factor=2.0 makes this
+rare, and the aux loss drives routing towards balance. A Pallas ragged
+grouped-matmul upgrade can replace the dispatch later without changing this
+module's interface.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contrastors_tpu.layers.activations import ACT2FN, is_gated
+
+
+class MoEMLP(nn.Module):
+    config: "TrunkConfig"  # noqa: F821
+    dtype: jnp.dtype = jnp.float32
+    capacity_factor: float = 2.0
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        B, S, D = hidden_states.shape
+        N = B * S
+        num_shared = cfg.num_shared_experts
+        E = cfg.num_experts - num_shared
+        top_k = cfg.moe_top_k - num_shared
+        F_hid = cfg.n_inner // cfg.ffn_div
+        gated = is_gated(cfg.activation_function)
+        act = ACT2FN[cfg.activation_function]
+
+        x = hidden_states.reshape(N, D)
+
+        router_kernel = self.param(
+            "router", nn.initializers.normal(stddev=cfg.initializer_range), (D, E), jnp.float32
+        )
+        router_logits = (x.astype(jnp.float32) @ router_kernel).astype(jnp.float32)  # [N, E]
+        if attention_mask is not None:
+            valid = attention_mask.reshape(N, 1).astype(jnp.bool_)
+            # force padding tokens onto expert 0 with zero weight downstream
+            router_logits_masked = jnp.where(valid, router_logits, -1e9)
+        else:
+            valid = jnp.ones((N, 1), dtype=jnp.bool_)
+            router_logits_masked = router_logits
+
+        probs = jax.nn.softmax(router_logits, axis=-1)
+        top_w, top_e = jax.lax.top_k(probs, top_k)  # [N, k]
+        if cfg.moe_normalize_expert_weights:
+            top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        top_w = top_w * valid.astype(top_w.dtype)
+
+        capacity = int(max(self.capacity_factor * N * top_k / max(E, 1), top_k))
+        capacity = min(capacity, N)
+
+        # position of each (token, k) assignment within its expert's queue
+        onehot = jax.nn.one_hot(top_e, E, dtype=jnp.int32)  # [N, k, E]
+        flat = onehot.reshape(N * top_k, E)
+        pos = jnp.cumsum(flat, axis=0) - flat  # rank within expert
+        pos = jnp.sum(pos * flat, axis=-1).reshape(N, top_k)
+        in_cap = (pos < capacity) & valid
+
+        # dispatch tensor [N, E, C] and combine weights
+        disp = (
+            jax.nn.one_hot(top_e, E, dtype=x.dtype)[:, :, :, None]
+            * jax.nn.one_hot(jnp.where(in_cap, pos, capacity), capacity + 1, dtype=x.dtype)[
+                :, :, None, :capacity
+            ]
+        )  # [N, k, E, C]
+        combine = disp * top_w[:, :, None, None].astype(x.dtype)
+        disp = jnp.sum(disp, axis=1)  # [N, E, C]
+        combine = jnp.sum(combine, axis=1)
+
+        expert_in = jnp.einsum("nd,nec->ecd", x, disp)  # [E, C, D]
+
+        def expert_param(name, shape):
+            return self.param(
+                name, nn.initializers.normal(stddev=cfg.initializer_range), shape, jnp.float32
+            ).astype(self.dtype)
+
+        if gated:
+            w_up = expert_param("w_up", (E, D, F_hid))
+            w_gate = expert_param("w_gate", (E, D, F_hid))
+            w_down = expert_param("w_down", (E, F_hid, D))
+            h = jnp.einsum("ecd,edf->ecf", expert_in, w_up) * act(
+                jnp.einsum("ecd,edf->ecf", expert_in, w_gate)
+            )
+            expert_out = jnp.einsum("ecf,efd->ecd", h, w_down)
+        else:
+            w_in = expert_param("w_in", (E, D, F_hid))
+            w_down = expert_param("w_down", (E, F_hid, D))
+            h = act(jnp.einsum("ecd,edf->ecf", expert_in, w_in))
+            expert_out = jnp.einsum("ecf,efd->ecd", h, w_down)
+
+        out = jnp.einsum("ecd,nec->nd", expert_out, combine)
+
+        if num_shared > 0:
+            shared_hid = F_hid * num_shared
+            y = nn.Dense(shared_hid, use_bias=False, dtype=self.dtype, name="shared_up")(x)
+            g = nn.Dense(shared_hid, use_bias=False, dtype=self.dtype, name="shared_gate")(x)
+            shared = nn.Dense(D, use_bias=False, dtype=self.dtype, name="shared_down")(y * act(g))
+            # megablocks shared_expert_weighted_sum: blend by assignment counts
+            frac_shared = num_shared / cfg.moe_top_k
+            out = shared * frac_shared + out * (1.0 - frac_shared)
+
+        bias = self.param("bias", nn.initializers.zeros, (D,), jnp.float32)
+        out = out + bias.astype(out.dtype)
+        return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked

@@ -1,0 +1,162 @@
+"""Rotary position embeddings as pure functions.
+
+The reference wraps flash-attn's in-place CUDA rotary kernels in four module
+variants (reference: layers/embedding.py:618-866 — VarLengthRotaryEmbedding,
+DynamicNTKRotaryEmbedding, LlamaRopeEmbedding, RotaryEmbeddingCat). On TPU a
+rotary is two elementwise multiplies that XLA fuses into the surrounding
+attention matmuls, so we express everything as stateless cos/sin builders +
+apply functions; caching is unnecessary because jit constant-folds the
+tables for static sequence lengths.
+"""
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def rotary_inv_freq(dim: int, base: float) -> np.ndarray:
+    return 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+
+
+def ntk_scaled_base(base: float, dim: int, seqlen: int, max_trained: int, scaling_factor: float) -> float:
+    """DynamicNTK base extension past the trained context
+    (reference: layers/embedding.py:809-818)."""
+    if seqlen <= max_trained:
+        return base
+    return base * ((scaling_factor * seqlen / max_trained) - (scaling_factor - 1)) ** (
+        dim / (dim - 2)
+    )
+
+
+def llama3_inv_freq(dim: int, base: float, rope_scaling: dict) -> np.ndarray:
+    """Llama-3 frequency-band smoothing (reference: layers/embedding.py:771-796)."""
+    inv_freq = rotary_inv_freq(dim, base)
+    factor = rope_scaling["factor"]
+    low = rope_scaling["low_freq_factor"]
+    high = rope_scaling["high_freq_factor"]
+    old_ctx = rope_scaling["original_max_position_embeddings"]
+
+    wavelen = 2 * math.pi / inv_freq
+    scaled = np.where(wavelen > old_ctx / low, inv_freq / factor, inv_freq)
+    smooth = (old_ctx / wavelen - low) / (high - low)
+    smoothed = (1 - smooth) * scaled / factor + smooth * scaled
+    is_medium = ~(wavelen < old_ctx / high) & ~(wavelen > old_ctx / low)
+    return np.where(is_medium, smoothed, scaled).astype(np.float32)
+
+
+def rotary_cos_sin(
+    seqlen: int,
+    rotary_dim: int,
+    base: float = 10_000.0,
+    rope_scaling: Optional[dict] = None,
+    rotary_scaling_factor: Optional[float] = None,
+    max_trained_positions: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables of shape [seqlen, rotary_dim // 2], fp32.
+
+    Variant selection mirrors the reference's module dispatch
+    (layers/attention.py:50-77): rope_scaling => llama3 bands,
+    rotary_scaling_factor => DynamicNTK, else plain RoPE.
+    """
+    if rope_scaling is not None:
+        inv_freq = llama3_inv_freq(rotary_dim, base, rope_scaling)
+    else:
+        if rotary_scaling_factor is not None:
+            base = ntk_scaled_base(base, rotary_dim, seqlen, max_trained_positions, rotary_scaling_factor)
+        inv_freq = rotary_inv_freq(rotary_dim, base)
+    t = np.arange(seqlen, dtype=np.float32)
+    freqs = np.outer(t, inv_freq)
+    return jnp.asarray(np.cos(freqs)), jnp.asarray(np.sin(freqs))
+
+
+def apply_rotary(
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    interleaved: bool = False,
+    position_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Rotate the first 2*cos.shape[-1] features of each head.
+
+    x: [batch, seq, heads, head_dim]; cos/sin: [max_seq, rot_dim/2] fp32.
+    position_ids: optional [batch, seq] gather indices into the tables
+    (used for packed sequences where positions restart at segment starts).
+    """
+    rot_dim = cos.shape[-1] * 2
+    if position_ids is not None:
+        cos = cos[position_ids]  # [b, s, rot/2]
+        sin = sin[position_ids]
+        cos = cos[:, :, None, :]
+        sin = sin[:, :, None, :]
+    else:
+        seqlen = x.shape[1]
+        cos = cos[None, :seqlen, None, :]
+        sin = sin[None, :seqlen, None, :]
+
+    x_rot = x[..., :rot_dim].astype(jnp.float32)
+    x_pass = x[..., rot_dim:]
+
+    if interleaved:
+        x1 = x_rot[..., ::2]
+        x2 = x_rot[..., 1::2]
+        o1 = x1 * cos - x2 * sin
+        o2 = x2 * cos + x1 * sin
+        rotated = jnp.stack([o1, o2], axis=-1).reshape(x_rot.shape)
+    else:
+        half = rot_dim // 2
+        x1 = x_rot[..., :half]
+        x2 = x_rot[..., half:]
+        rotated = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+
+    rotated = rotated.astype(x.dtype)
+    if x_pass.shape[-1] == 0:
+        return rotated
+    return jnp.concatenate([rotated, x_pass], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# 2-D rotary for ViT (EVA02-style "cat" rope).
+# Reference: layers/embedding.py:118-354 (build_fourier_pos_embed,
+# build_rotary_pos_embed, RotaryEmbeddingCat with in_pixels=False).
+# ---------------------------------------------------------------------------
+
+
+def build_2d_rope_cat(
+    dim: int,
+    feat_shape: Tuple[int, int],
+    temperature: float = 10_000.0,
+    ref_feat_shape: Optional[Tuple[int, int]] = None,
+) -> jnp.ndarray:
+    """Returns [H*W, 2*dim] fp32: sin||cos, each repeat_interleave(2)d.
+
+    dim is the per-head dimension; num_bands = dim // 4 per spatial axis.
+    """
+    num_bands = dim // 4
+    exp = np.arange(0, num_bands, 1, dtype=np.float32) / num_bands
+    bands = 1.0 / (temperature**exp)  # [nb]
+
+    t = [np.arange(s, dtype=np.float32) for s in feat_shape]
+    if ref_feat_shape is not None:
+        t = [x / f * r for x, f, r in zip(t, feat_shape, ref_feat_shape)]
+    grid = np.stack(np.meshgrid(*t, indexing="ij"), axis=-1)  # [H, W, 2]
+    pos = grid[..., None] * bands  # [H, W, 2, nb]
+
+    n = feat_shape[0] * feat_shape[1]
+    sin = np.repeat(np.sin(pos).reshape(n, -1), 2, axis=-1)  # [N, dim]
+    cos = np.repeat(np.cos(pos).reshape(n, -1), 2, axis=-1)
+    return jnp.asarray(np.concatenate([sin, cos], axis=-1))
+
+
+def apply_rope_cat(x: jnp.ndarray, rope: jnp.ndarray) -> jnp.ndarray:
+    """x: [..., N, dim]; rope: [N, 2*dim] (sin||cos).
+
+    rot(x) pairs: (x0, x1) -> (-x1, x0) (reference embedding.py:261-269).
+    """
+    sin, cos = jnp.split(rope.astype(jnp.float32), 2, axis=-1)
+    xf = x.astype(jnp.float32)
+    x_even = xf[..., ::2]
+    x_odd = xf[..., 1::2]
+    rot = jnp.stack([-x_odd, x_even], axis=-1).reshape(xf.shape)
+    return (xf * cos + rot * sin).astype(x.dtype)

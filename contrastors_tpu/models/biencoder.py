@@ -1,0 +1,153 @@
+"""BiEncoder: universal single-tower embedder + pooling heads.
+
+TPU counterpart of the reference BiEncoder
+(reference: models/biencoder/modeling_biencoder.py:30-319). The trunk is
+dispatched by family (encoder / decoder / vision); pooling, projection,
+hamming LN, normalize/binarize semantics are preserved. Freezing is
+stop_gradient here plus an optimizer mask in the trainer (the torch version
+uses requires_grad=False + no_grad).
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from contrastors_tpu.layers.attention import MultiHeadAttentionPooling
+from contrastors_tpu.layers.norms import LayerNorm
+from contrastors_tpu.models.decoder import DecoderModel
+from contrastors_tpu.models.nomic_bert import NomicBertModel
+from contrastors_tpu.models.model_config import TrunkConfig
+from contrastors_tpu.models.vit import ViTModel
+
+TRUNK_TYPES = ("encoder", "decoder", "vision")
+
+
+def mean_pool(hidden, attention_mask):
+    """Masked mean (reference modeling_biencoder.py:79-90)."""
+    if attention_mask is None:
+        return jnp.mean(hidden, axis=1)
+    m = attention_mask[:, :, None].astype(jnp.float32)
+    s = jnp.sum(hidden.astype(jnp.float32) * m, axis=1)
+    d = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    return (s / d).astype(hidden.dtype)
+
+
+def last_token_pool(hidden, attention_mask):
+    """Embedding of the final (EOS) token (reference
+    modeling_biencoder.py:52-76; EOS-placement validation is a host-side
+    data-pipeline check in this framework — data/collate.py — because
+    value-dependent raises can't live under jit)."""
+    lengths = jnp.sum(attention_mask, axis=-1) - 1
+    return jnp.take_along_axis(hidden, lengths[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+def cls_pool(hidden, attention_mask):
+    return hidden[:, 0]
+
+
+class LogitScale(nn.Module):
+    """exp-parameterized temperature (reference modeling_biencoder.py:30-41)."""
+
+    logit_scale_init: float = 1 / 0.07
+    trainable: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.param(
+            "logit_scale",
+            nn.initializers.constant(float(np.log(self.logit_scale_init))),
+            (),
+            jnp.float32,
+        )
+        if not self.trainable:
+            s = jax.lax.stop_gradient(s)
+        return x * jnp.exp(s)
+
+
+class BiEncoder(nn.Module):
+    config: TrunkConfig
+    trunk_type: str = "encoder"  # encoder | decoder | vision
+    pooling: str = "mean"  # mean | last | cls | map | none
+    projection_dim: Optional[int] = None
+    hamming: bool = False
+    freeze: bool = False
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: Optional[jnp.ndarray] = None,
+        attention_mask: Optional[jnp.ndarray] = None,
+        pixel_values: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        normalize: bool = True,
+        binarize: bool = False,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        if self.trunk_type == "encoder":
+            trunk_out = NomicBertModel(
+                config=cfg, dtype=self.dtype, add_pooling_layer=False, remat=self.remat, name="trunk"
+            )(
+                input_ids,
+                attention_mask=attention_mask,
+                token_type_ids=token_type_ids,
+                deterministic=deterministic,
+            )
+        elif self.trunk_type == "decoder":
+            trunk_out = DecoderModel(config=cfg, dtype=self.dtype, remat=self.remat, name="trunk")(
+                input_ids, attention_mask=attention_mask, deterministic=deterministic
+            )
+        elif self.trunk_type == "vision":
+            trunk_out = ViTModel(config=cfg, dtype=self.dtype, remat=self.remat, name="trunk")(
+                pixel_values, deterministic=deterministic
+            )
+            attention_mask = None
+        else:
+            raise ValueError(f"unknown trunk_type {self.trunk_type!r}")
+
+        hidden = trunk_out["last_hidden_state"]
+        if self.freeze:
+            hidden = jax.lax.stop_gradient(hidden)
+
+        router_logits = trunk_out.get("router_logits") or None
+
+        if self.pooling == "mean":
+            embedding = mean_pool(hidden, attention_mask)
+        elif self.pooling == "last":
+            embedding = last_token_pool(hidden, attention_mask)
+        elif self.pooling == "cls":
+            embedding = cls_pool(hidden, attention_mask)
+        elif self.pooling == "map":
+            embedding = MultiHeadAttentionPooling(config=cfg, dtype=self.dtype, name="selector")(
+                hidden, attention_mask=attention_mask, deterministic=deterministic
+            )
+        elif self.pooling == "none":
+            embedding = hidden
+        else:
+            raise ValueError(f"unknown pooling {self.pooling!r}")
+
+        if self.hamming:
+            embedding = LayerNorm(
+                dim=embedding.shape[-1],
+                eps=1e-5,
+                elementwise_affine=False,
+                name="hamming",
+            )(embedding)
+
+        if self.projection_dim:
+            embedding = nn.Dense(self.projection_dim, dtype=self.dtype, name="proj")(embedding)
+
+        if binarize:
+            embedding = (embedding > 0).astype(jnp.float32)
+        elif normalize:
+            norm = jnp.linalg.norm(embedding.astype(jnp.float32), axis=-1, keepdims=True)
+            embedding = (embedding.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(
+                embedding.dtype
+            )
+
+        return {"embedding": embedding, "router_logits": router_logits}

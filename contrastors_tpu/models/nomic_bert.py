@@ -1,0 +1,190 @@
+"""NomicBERT: bidirectional flash-style encoder, flax edition.
+
+TPU counterpart of the reference NomicBertModel / heads
+(reference: models/encoder/modeling_nomic_bert.py:283-757). Postnorm blocks,
+BERT embedding LN before dropout, optional rotary (nomic-bert-2048), MoE
+every-n-layers. The reference's global unpad->varlen->repad trick
+(modeling_nomic_bert.py:331-394) is replaced by static-shape masking /
+packed segment ids, which is what XLA wants.
+"""
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contrastors_tpu.layers.block import Block
+from contrastors_tpu.layers.embeddings import BertEmbeddings
+from contrastors_tpu.layers.norms import LayerNorm, make_norm
+from contrastors_tpu.layers.activations import ACT2FN
+from contrastors_tpu.models.model_config import TrunkConfig
+
+
+def _layer_is_moe(config: TrunkConfig, i: int) -> bool:
+    # reference modeling_nomic_bert.py:298-302: moe when i % every_n == 1
+    if config.num_experts <= 0:
+        return False
+    if config.moe_every_n_layers > 0:
+        return i % config.moe_every_n_layers == 1
+    return False
+
+
+class NomicBertModel(nn.Module):
+    config: TrunkConfig
+    dtype: jnp.dtype = jnp.float32
+    add_pooling_layer: bool = False
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        hidden = BertEmbeddings(config=cfg, dtype=self.dtype, name="embeddings")(
+            input_ids, position_ids=position_ids, token_type_ids=token_type_ids
+        )
+        # BERT: LN before dropout (reference modeling_nomic_bert.py:529-535)
+        hidden = LayerNorm(dim=cfg.n_embd, eps=cfg.layer_norm_epsilon, name="emb_ln")(hidden)
+        if cfg.embd_pdrop > 0.0 and not deterministic:
+            hidden = nn.Dropout(rate=cfg.embd_pdrop, name="emb_drop")(hidden, deterministic=False)
+
+        router_logits = []
+        residual = None
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block, static_argnums=(6,))
+        for i in range(cfg.n_layer):
+            hidden, residual, rl = block_cls(
+                config=cfg, dtype=self.dtype, moe=_layer_is_moe(cfg, i), name=f"layers_{i}"
+            )(hidden, residual, attention_mask, segment_ids, position_ids, None, deterministic)
+            if rl is not None:
+                router_logits.append(rl)
+
+        out: Dict[str, Any] = {"last_hidden_state": hidden, "router_logits": router_logits}
+        if self.add_pooling_layer:
+            pooled = nn.Dense(cfg.n_embd, dtype=self.dtype, name="pooler_dense")(hidden[:, 0])
+            out["pooler_output"] = jnp.tanh(pooled)
+        return out
+
+
+class NomicBertForPreTraining(nn.Module):
+    """MLM head with tied decoder weights
+    (reference: modeling_nomic_bert.py:590-669). dense_seq_output's dynamic
+    masked-token gather is replaced by label-masked CE over all positions —
+    identical loss value with static shapes."""
+
+    config: TrunkConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        labels: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        bert = NomicBertModel(
+            config=cfg, dtype=self.dtype, add_pooling_layer=False, remat=self.remat, name="bert"
+        )
+        outputs = bert(
+            input_ids,
+            attention_mask=attention_mask,
+            position_ids=position_ids,
+            token_type_ids=token_type_ids,
+            deterministic=deterministic,
+        )
+        hidden = outputs["last_hidden_state"]
+
+        # transform: dense -> act -> LN (reference modeling_nomic_bert.py:417-454)
+        act = jax.nn.silu if cfg.activation_function == "swiglu" else ACT2FN[cfg.activation_function]
+        h = nn.Dense(cfg.n_embd, use_bias=cfg.mlp_fc1_bias, dtype=self.dtype, name="transform_dense")(hidden)
+        h = act(h)
+        h = make_norm(cfg, name="transform_layer_norm")(h)
+
+        if cfg.tie_word_embeddings:
+            table = bert.variables["params"]["embeddings"]["word_embeddings"]["embedding"]
+            logits = h @ table.astype(self.dtype).T
+        else:
+            logits = nn.Dense(cfg.vocab_size, use_bias=False, dtype=self.dtype, name="decoder")(h)
+        decoder_bias = self.param("decoder_bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32)
+        logits = logits + decoder_bias.astype(logits.dtype)
+
+        out: Dict[str, Any] = {"prediction_logits": logits}
+        if labels is not None:
+            out["loss"] = masked_cross_entropy(logits, labels)
+        return out
+
+
+def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over positions with label >= 0 (HF ignore_index=-100 semantics)."""
+    V = logits.shape[-1]
+    flat_logits = logits.reshape(-1, V).astype(jnp.float32)
+    flat_labels = labels.reshape(-1)
+    valid = flat_labels >= 0
+    safe = jnp.where(valid, flat_labels, 0)
+    logz = jax.nn.logsumexp(flat_logits, axis=-1)
+    gold = jnp.take_along_axis(flat_logits, safe[:, None], axis=-1)[:, 0]
+    nll = (logz - gold) * valid.astype(jnp.float32)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+
+
+class NomicBertForSequenceClassification(nn.Module):
+    """GLUE head (reference: modeling_nomic_bert.py:672-757)."""
+
+    config: TrunkConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        labels: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        outputs = NomicBertModel(
+            config=cfg, dtype=self.dtype, add_pooling_layer=True, name="bert"
+        )(input_ids, attention_mask=attention_mask, token_type_ids=token_type_ids, deterministic=deterministic)
+        pooled = outputs["pooler_output"]
+        p_drop = cfg.classifier_dropout if cfg.classifier_dropout is not None else cfg.embd_pdrop
+        if p_drop > 0.0 and not deterministic:
+            pooled = nn.Dropout(rate=p_drop, name="cls_dropout")(pooled, deterministic=False)
+        logits = nn.Dense(cfg.num_labels, dtype=self.dtype, name="classifier")(pooled)
+
+        out: Dict[str, Any] = {"logits": logits}
+        if labels is not None:
+            problem = cfg.problem_type
+            if problem is None:
+                if cfg.num_labels == 1:
+                    problem = "regression"
+                elif jnp.issubdtype(labels.dtype, jnp.integer):
+                    problem = "single_label_classification"
+                else:
+                    problem = "multi_label_classification"
+            lg = logits.astype(jnp.float32)
+            if problem == "regression":
+                out["loss"] = jnp.mean((lg.squeeze() - labels.squeeze().astype(jnp.float32)) ** 2)
+            elif problem == "single_label_classification":
+                logz = jax.nn.logsumexp(lg, axis=-1)
+                gold = jnp.take_along_axis(lg, labels[:, None], axis=-1)[:, 0]
+                out["loss"] = jnp.mean(logz - gold)
+            else:
+                lab = labels.astype(jnp.float32)
+                out["loss"] = jnp.mean(
+                    jnp.maximum(lg, 0) - lg * lab + jnp.log1p(jnp.exp(-jnp.abs(lg)))
+                )
+        return out

@@ -1,0 +1,119 @@
+"""Chunked-remat GradCache gradients == naive full-batch gradients.
+
+The deterministic version of the reference's 2-GPU parity harness
+(reference: test_grad_cache.py:63-119) — single device and on an 8-device
+mesh, no hardware needed.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
+from contrastors_tpu.losses import clip_loss
+from contrastors_tpu.models.model_config import TrunkConfig
+from contrastors_tpu.models.nomic_bert import NomicBertModel
+from contrastors_tpu.models.biencoder import mean_pool
+
+
+def _setup():
+    cfg = TrunkConfig(
+        n_embd=32,
+        n_layer=2,
+        n_head=2,
+        n_inner=64,
+        vocab_size=128,
+        n_positions=32,
+        type_vocab_size=0,
+        pad_token_id=0,
+    )
+    model = NomicBertModel(config=cfg, add_pooling_layer=False)
+    rng = np.random.default_rng(0)
+    B, S = 16, 12
+    ids = jnp.asarray(rng.integers(5, 128, size=(B, S)))
+    mask = jnp.ones((B, S), dtype=jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ids[:2], mask[:2])
+
+    def encode(p, batch, rng_key):
+        out = model.apply(p, batch["input_ids"], batch["attention_mask"])
+        emb = mean_pool(out["last_hidden_state"], batch["attention_mask"])
+        emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+        return {"embedding": emb}
+
+    batch = {"input_ids": ids, "attention_mask": mask}
+    return model, params, encode, batch
+
+
+def test_grad_cache_matches_naive():
+    model, params, encode, batch = _setup()
+
+    def loss_fn(q, d):
+        return clip_loss(q, d, lambda x: x * 10.0)[0]
+
+    def naive(p):
+        q = encode(p, batch, None)["embedding"]
+        d = encode(p, batch, None)["embedding"]
+        return loss_fn(q, d)
+
+    naive_loss, naive_grads = jax.value_and_grad(naive)(params)
+
+    gc_loss, gc_grads = jax.jit(
+        lambda p: grad_cache_loss_and_grads(
+            p, batch, batch, encode, encode, loss_fn, chunk_size=4
+        )
+    )(params)
+
+    np.testing.assert_allclose(float(gc_loss), float(naive_loss), rtol=1e-5)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(naive_grads),
+        jax.tree_util.tree_leaves_with_path(gc_grads),
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, err_msg=str(p1))
+
+
+def test_grad_cache_sharded_matches_global_naive():
+    """GradCache under shard_map over 8 devices (embeddings gathered in the
+    loss) == single-device full-batch gradients."""
+    model, params, encode, batch = _setup()
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    def global_loss_fn(q, d):
+        return clip_loss(q, d, lambda x: x * 10.0)[0]
+
+    def naive(p):
+        q = encode(p, batch, None)["embedding"]
+        d = encode(p, batch, None)["embedding"]
+        return global_loss_fn(q, d)
+
+    naive_loss, naive_grads = jax.value_and_grad(naive)(params)
+
+    def sharded_loss_fn(q, d):
+        # Local rows vs gathered docs, scaled by 1/world so that the
+        # device-sum (which jax.grad wrt replicated params produces
+        # automatically under shard_map) equals the global mean loss.
+        loss, _ = clip_loss(q, d, lambda x: x * 10.0, axis_name="data")
+        return loss / jax.lax.axis_size("data")
+
+    def step(p, b):
+        loss, grads = grad_cache_loss_and_grads(
+            p, b, b, encode, encode, sharded_loss_fn, chunk_size=1
+        )
+        # grads are already cross-device sums (replicated-param transpose
+        # inserts the psum); only the reported loss needs the psum.
+        return jax.lax.psum(loss, "data"), grads
+
+    loss, grads = jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(P(), {"input_ids": P("data"), "attention_mask": P("data")}),
+            out_specs=(P(), P()),
+        )
+    )(params, batch)
+
+    np.testing.assert_allclose(float(loss), float(naive_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(naive_grads), jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
