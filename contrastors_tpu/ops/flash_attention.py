@@ -1,0 +1,435 @@
+"""Pallas TPU flash attention (forward + backward).
+
+First-party replacement for the flash-attn CUDA kernels the reference
+consumes (reference: layers/attention.py:7-12,153-241). FlashAttention-2
+style: online softmax over kv blocks, O(S) memory, LSE saved for a
+recompute-based backward. Varlen/unpad is replaced by segment-ids masking
+on static shapes — the TPU-native equivalent of cu_seqlens packing.
+
+Public layout: q [B, S, H, D], k/v [B, T, H, D] (MHA; GQA falls back to
+SDPA); internally transposed to [B, H, S, D] so every block is a clean
+(seq, head_dim) tile.
+The wrapper pads S/T to block multiples and folds attention_mask into
+kv segment ids. Softmax in fp32; p cast to v.dtype for the PV matmul
+(same as the CUDA kernel's tensor-core path).
+
+Backward follows FA-2's two-kernel split: dq accumulated over kv blocks,
+dk/dv accumulated over q blocks, with delta = rowsum(dO * O) precomputed.
+"""
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def flash_shape_ok(q, k) -> bool:
+    """Flash path requirements: MHA (no GQA) and head_dim lane-friendly."""
+    return q.shape[2] == k.shape[2] and q.shape[3] % 8 == 0
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    seg_q_ref,
+    seg_kv_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_kv: int,
+    kv_len: int,
+    masked: bool,
+):
+    j = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_idx = pl.program_id(2)
+
+    def compute():
+        q = q_ref[:, :]  # [bq, D]
+        k = k_ref[:, :]  # [bkv, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale
+
+        if masked:
+            sq = seg_q_ref[0, :]  # [bq]
+            skv = seg_kv_ref[0, :]  # [bkv]
+            valid = (sq[:, None] == skv[None, :]) & (skv[None, :] != 0)
+            s = jnp.where(valid, s, NEG_INF)
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        # floor keeps exp(s - m_new) == 0 when an entire block is masked
+        # (s == m_new == NEG_INF would otherwise give p == 1)
+        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e20)
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[:, :]
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = m_new
+
+    if causal:
+        # skip fully-masked blocks above the diagonal
+        @pl.when(q_idx * block_q + block_q - 1 >= j * block_kv)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        l = l_scr[:]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[:, :] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[:] + jnp.log(l_safe)
+        lse_ref[0, :] = jnp.where(l[:, 0] == 0.0, NEG_INF, lse[:, 0])
+
+
+def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
+    # q [B, H, S, D]; k/v [B, H, T, D]
+    B, H, S, D = q.shape
+    T = k.shape[2]
+    grid = (B, H, S // block_q, T // block_kv)
+
+    q_spec = pl.BlockSpec((None, None, block_q, D), lambda b, h, i, j: (b, h, i, 0))
+    kv_spec = pl.BlockSpec((None, None, block_kv, D), lambda b, h, i, j: (b, h, j, 0))
+    segq_spec = pl.BlockSpec((None, 1, block_q), lambda b, h, i, j: (b, 0, i))
+    segkv_spec = pl.BlockSpec((None, 1, block_kv), lambda b, h, i, j: (b, 0, j))
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_kv=block_kv,
+        kv_len=T,
+        masked=masked,
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[segq_spec, segkv_spec, q_spec, kv_spec, kv_spec],
+        out_specs=[
+            pl.BlockSpec((None, None, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((None, None, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=_use_interpret(),
+    )(seg_q, seg_kv, q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scr,
+    *, causal, sm_scale, block_q, block_kv, masked,
+):
+    j = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+    q_idx = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    def compute():
+        q = q_ref[:, :]
+        k = k_ref[:, :]
+        v = v_ref[:, :]
+        do = do_ref[:, :].astype(jnp.float32)
+        lse = lse_ref[0, :][:, None]
+        delta = delta_ref[0, :][:, None]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        if masked:
+            sq = seg_q_ref[0, :]
+            skv = seg_kv_ref[0, :]
+            valid = (sq[:, None] == skv[None, :]) & (skv[None, :] != 0)
+            s = jnp.where(valid, s, NEG_INF)
+        if causal:
+            rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        @pl.when(q_idx * block_q + block_q - 1 >= j * block_kv)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(j == n_kv - 1)
+    def _fin():
+        dq_ref[:, :] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, causal, sm_scale, block_q, block_kv, masked,
+):
+    i = pl.program_id(3)  # q block (innermost)
+    n_q = pl.num_programs(3)
+    kv_idx = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def compute():
+        q = q_ref[:, :]
+        k = k_ref[:, :]
+        v = v_ref[:, :]
+        do = do_ref[:, :].astype(jnp.float32)
+        lse = lse_ref[0, :][:, None]
+        delta = delta_ref[0, :][:, None]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        if masked:
+            sq = seg_q_ref[0, :]
+            skv = seg_kv_ref[0, :]
+            valid = (sq[:, None] == skv[None, :]) & (skv[None, :] != 0)
+            s = jnp.where(valid, s, NEG_INF)
+        if causal:
+            rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        p = jnp.exp(s - lse)  # [bq, bkv]
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * sm_scale  # [bq, bkv]
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if causal:
+        @pl.when(i * block_q + block_q - 1 >= kv_idx * block_kv)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(i == n_q - 1)
+    def _fin():
+        dk_ref[:, :] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[:, :] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd(causal, sm_scale, block_q, block_kv, masked, res, g):
+    q, k, v, seg_q, seg_kv, out, lse = res
+    do = g  # [B, H, S, D]
+    B, H, S, D = q.shape
+    T = k.shape[2]
+
+    delta = jnp.sum(
+        out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1
+    )[:, :, None, :]  # [B, H, 1, S]
+
+    q_spec = pl.BlockSpec((None, None, block_q, D), lambda b, h, i, j: (b, h, i, 0))
+    segq_spec = pl.BlockSpec((None, 1, block_q), lambda b, h, i, j: (b, 0, i))
+    segkv_spec = pl.BlockSpec((None, 1, block_kv), lambda b, h, i, j: (b, 0, j))
+    kv_spec = pl.BlockSpec((None, None, block_kv, D), lambda b, h, i, j: (b, h, j, 0))
+    lse_spec = pl.BlockSpec((None, None, 1, block_q), lambda b, h, i, j: (b, h, 0, i))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel,
+            causal=causal, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv, masked=masked,
+        ),
+        grid=(B, H, S // block_q, T // block_kv),
+        in_specs=[segq_spec, segkv_spec, q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
+        out_specs=pl.BlockSpec((None, None, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=_use_interpret(),
+    )(seg_q, seg_kv, q, k, v, do, lse, delta)
+
+    # dk/dv: kv block outer, q block inner
+    segq_i = pl.BlockSpec((None, 1, block_q), lambda b, h, j, i: (b, 0, i))
+    segkv_i = pl.BlockSpec((None, 1, block_kv), lambda b, h, j, i: (b, 0, j))
+    q_i = pl.BlockSpec((None, None, block_q, D), lambda b, h, j, i: (b, h, i, 0))
+    kv_i = pl.BlockSpec((None, None, block_kv, D), lambda b, h, j, i: (b, h, j, 0))
+    lse_i = pl.BlockSpec((None, None, 1, block_q), lambda b, h, j, i: (b, h, 0, i))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel,
+            causal=causal, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv, masked=masked,
+        ),
+        grid=(B, H, T // block_kv, S // block_q),
+        in_specs=[segq_i, segkv_i, q_i, kv_i, kv_i, q_i, lse_i, lse_i],
+        out_specs=[
+            pl.BlockSpec((None, None, block_kv, D), lambda b, h, j, i: (b, h, j, 0)),
+            pl.BlockSpec((None, None, block_kv, D), lambda b, h, j, i: (b, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, T, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, T, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, D), jnp.float32),
+            pltpu.VMEM((block_kv, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
+        interpret=_use_interpret(),
+    )(seg_q, seg_kv, q, k, v, do, lse, delta)
+
+    return dq, dk, dv, None, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
+    out, _ = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked)
+    return out
+
+
+def _flash_fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
+    out, lse = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked)
+    return out, (q, k, v, seg_q, seg_kv, out, lse)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_kv, masked, res, g):
+    return _bwd(causal, sm_scale, block_q, block_kv, masked, res, g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    softmax_scale: Optional[float] = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+) -> jnp.ndarray:
+    """Public entry. q [B,S,H,D]; k/v [B,T,H,D]; returns [B,S,H,D]."""
+    B, S, H, D = q.shape
+    T = k.shape[1]
+    if softmax_scale is None:
+        softmax_scale = 1.0 / (D**0.5)
+
+    # resolve segments: mask and segment ids merge into int32 ids, 0 = pad
+    masked = attention_mask is not None or segment_ids is not None
+    if masked:
+        if segment_ids is not None:
+            seg_q = segment_ids.astype(jnp.int32)
+            seg_kv = (kv_segment_ids if kv_segment_ids is not None else segment_ids).astype(jnp.int32)
+            if attention_mask is not None:
+                seg_kv = seg_kv * attention_mask.astype(jnp.int32)
+        else:
+            m = attention_mask.astype(jnp.int32)
+            seg_kv = m
+            seg_q = jnp.ones((B, S), jnp.int32) if S != T else m
+    else:
+        seg_q = jnp.zeros((B, 0), jnp.int32)
+        seg_kv = jnp.zeros((B, 0), jnp.int32)
+
+    bq = min(block_q, _round_up(S, 128))
+    bkv = min(block_kv, _round_up(T, 128))
+    S_pad = _round_up(S, bq)
+    T_pad = _round_up(T, bkv)
+    if S_pad != S or T_pad != T:
+        if not masked:
+            masked = True
+            seg_q = jnp.ones((B, S), jnp.int32)
+            seg_kv = jnp.ones((B, T), jnp.int32)
+        q = jnp.pad(q, ((0, 0), (0, S_pad - S), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+    if masked:
+        seg_q = jnp.pad(seg_q, ((0, 0), (0, S_pad - seg_q.shape[1])))
+        seg_kv = jnp.pad(seg_kv, ((0, 0), (0, T_pad - seg_kv.shape[1])))
+    else:
+        seg_q = jnp.zeros((B, S_pad), jnp.int32)
+        seg_kv = jnp.zeros((B, T_pad), jnp.int32)
+
+    seg_q = seg_q[:, None, :]
+    seg_kv = seg_kv[:, None, :]
+    # kernels run in [B, H, S, D]
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    out = _flash(q, k, v, seg_q, seg_kv, causal, softmax_scale, bq, bkv, masked)
+    return out.transpose(0, 2, 1, 3)[:, :S]

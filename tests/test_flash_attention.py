@@ -1,0 +1,107 @@
+"""Pallas flash attention vs the SDPA oracle (interpret mode on CPU).
+
+Parity bar follows the reference's kernel criterion
+(reference tests/test_flash_bert.py:77-82): fp32 near-exact, bf16 within
+3x the dtype noise floor. Forward and backward, causal/bidirectional,
+padding masks, and packed segment ids.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from contrastors_tpu.ops.flash_attention import flash_attention
+from contrastors_tpu.ops.sdpa import sdpa
+
+
+def make_qkv(rng, B=2, S=256, H=4, D=64, dtype=jnp.float32):
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype=dtype)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype=dtype)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype=dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_forward_matches_sdpa(causal):
+    rng = np.random.default_rng(0)
+    q, k, v = make_qkv(rng)
+    out_f = flash_attention(q, k, v, causal=causal, block_q=128, block_kv=128)
+    out_s = sdpa(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), atol=2e-5)
+
+
+def test_flash_forward_with_padding_mask():
+    rng = np.random.default_rng(1)
+    q, k, v = make_qkv(rng, B=3, S=256)
+    lengths = np.array([256, 130, 7])
+    mask = jnp.asarray((np.arange(256)[None, :] < lengths[:, None]).astype(np.int32))
+    out_f = flash_attention(q, k, v, attention_mask=mask, block_q=128, block_kv=128)
+    out_s = sdpa(q, k, v, attention_mask=mask)
+    valid = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out_f) * valid, np.asarray(out_s) * valid, atol=2e-5
+    )
+
+
+def test_flash_forward_segment_ids_packing():
+    """Packed sequences: attention only within equal segments — the
+    static-shape replacement for flash-attn varlen/cu_seqlens."""
+    rng = np.random.default_rng(2)
+    q, k, v = make_qkv(rng, B=2, S=256)
+    seg = np.zeros((2, 256), dtype=np.int32)
+    seg[0, :100] = 1
+    seg[0, 100:200] = 2
+    seg[1, :256] = 1
+    seg = jnp.asarray(seg)
+    out_f = flash_attention(q, k, v, segment_ids=seg, block_q=128, block_kv=128)
+    out_s = sdpa(q, k, v, segment_ids=seg)
+    valid = (np.asarray(seg) != 0)[:, :, None, None]
+    np.testing.assert_allclose(
+        np.asarray(out_f) * valid, np.asarray(out_s) * valid, atol=2e-5
+    )
+
+
+def test_flash_forward_unaligned_seqlen():
+    rng = np.random.default_rng(3)
+    q, k, v = make_qkv(rng, S=200)  # forces padding to block multiple
+    out_f = flash_attention(q, k, v, block_q=128, block_kv=128)
+    out_s = sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_backward_matches_sdpa(causal):
+    rng = np.random.default_rng(4)
+    q, k, v = make_qkv(rng, B=2, S=256)
+    lengths = np.array([256, 180])
+    mask = jnp.asarray((np.arange(256)[None, :] < lengths[:, None]).astype(np.int32))
+    mf = np.asarray(mask)[:, :, None, None].astype(np.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, attention_mask=mask, causal=causal, block_q=128, block_kv=128)
+        return jnp.sum((o * mf) ** 2)
+
+    def loss_sdpa(q, k, v):
+        o = sdpa(q, k, v, attention_mask=mask, causal=causal)
+        return jnp.sum((o * mf) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_sdpa, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gs, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+
+def test_flash_bf16_noise_floor():
+    rng = np.random.default_rng(5)
+    q, k, v = make_qkv(rng)
+    gold = sdpa(q, k, v)
+    noise = np.abs(
+        np.asarray(sdpa(*(x.astype(jnp.bfloat16) for x in (q, k, v))), dtype=np.float32)
+        - np.asarray(gold)
+    ).max()
+    out = flash_attention(
+        *(x.astype(jnp.bfloat16) for x in (q, k, v)), block_q=128, block_kv=128
+    )
+    err = np.abs(np.asarray(out, dtype=np.float32) - np.asarray(gold)).max()
+    assert err < 3 * max(noise, 1e-6), f"bf16 flash err {err} vs noise {noise}"
