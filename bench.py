@@ -1,0 +1,131 @@
+"""Headline benchmark: contrastive pairs/sec/chip at 16k-class global batch.
+
+Replicates the per-chip workload of the nomic-embed-text-v1 pretrain recipe
+(reference: configs/train/contrastive_pretrain.yaml — global batch 16384,
+GradCache chunk 64, query 32 / document 256 tokens, bf16) on however many
+chips are attached: per-chip batch = 512 pairs (16384 / 32-chip pod),
+chunked-remat GradCache, Pallas flash attention, AdamW update.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference's published throughput — the
+repo publishes none (BASELINE.md), so we report MFU-normalized value vs the
+40%-MFU north-star target instead.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+def main():
+    from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
+    from contrastors_tpu.losses import clip_loss
+    from contrastors_tpu.models.biencoder import BiEncoder, LogitScale
+    from contrastors_tpu.models.presets import nomic_bert_2048
+    from contrastors_tpu.utils.optim import make_optimizer
+
+    n_chips = len(jax.devices())
+    per_chip_batch = 512  # 16384 global on a 32-chip pod
+    chunk = 64
+    q_len, d_len = 32, 256
+
+    cfg = nomic_bert_2048(attn_impl="flash")
+    model = BiEncoder(config=cfg, pooling="mean", dtype=jnp.bfloat16)
+    scale_mod = LogitScale(logit_scale_init=50.0, trainable=False)
+
+    rng = np.random.default_rng(0)
+    B = per_chip_batch * n_chips
+    q_ids = jnp.asarray(rng.integers(5, 30000, size=(B, q_len)), jnp.int32)
+    d_ids = jnp.asarray(rng.integers(5, 30000, size=(B, d_len)), jnp.int32)
+    q_mask = jnp.ones_like(q_ids)
+    d_mask = jnp.ones_like(d_ids)
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "model": model.init(key, input_ids=q_ids[:2], attention_mask=q_mask[:2]),
+        "logit_scale": scale_mod.init(key, jnp.ones(())),
+    }
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tx = make_optimizer(params, 2e-4, weight_decay=0.01, max_grad_norm=1.0)
+    opt_state = tx.init(params)
+
+    def encode(p, b, r):
+        return {
+            "embedding": model.apply(p, input_ids=b["ids"], attention_mask=b["mask"])["embedding"]
+        }
+
+    def loss_fn(q, d, scale_params):
+        loss, _ = clip_loss(q, d, lambda x: scale_mod.apply(scale_params, x))
+        return loss
+
+    @jax.jit
+    def step(params, opt_state, qb, db, rng):
+        loss, g_model, g_scale = grad_cache_loss_and_grads(
+            params["model"], qb, db, encode, encode, loss_fn,
+            chunk_size=chunk, rng=rng, extra_params=params["logit_scale"],
+        )
+        grads = {"model": g_model, "logit_scale": g_scale}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    qb = {"ids": q_ids, "mask": q_mask}
+    db = {"ids": d_ids, "mask": d_mask}
+
+    # warmup/compile. NOTE: jax.block_until_ready does not reliably block
+    # through the remote-TPU tunnel in this environment — only an actual
+    # device->host transfer (float()) synchronizes, so each timed step
+    # fetches its scalar loss (~40 ms tunnel overhead, negligible vs the
+    # multi-second step).
+    params, opt_state, loss = step(params, opt_state, qb, db, jax.random.PRNGKey(1))
+    _ = float(loss)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = step(params, opt_state, qb, db, jax.random.PRNGKey(i))
+        _ = float(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    pairs_per_sec_chip = B / dt / n_chips
+    # GradCache = 2 fwd + 1 bwd over both towers: ~8 * params * tokens FLOPs/pair
+    tokens_per_pair = q_len + d_len
+    flops_per_pair = 8 * n_params * tokens_per_pair
+    achieved_tflops = pairs_per_sec_chip * flops_per_pair / 1e12
+    peak_tflops = 197.0  # v5e bf16 (v5p: 459)
+    mfu = achieved_tflops / peak_tflops
+
+    result = {
+        "metric": "contrastive_pairs_per_sec_per_chip_16k_batch",
+        "value": round(pairs_per_sec_chip, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(mfu / 0.40, 3),  # fraction of the 40%-MFU north star
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "n_chips": n_chips,
+                    "per_chip_batch": per_chip_batch,
+                    "chunk": chunk,
+                    "step_ms": round(dt * 1000, 1),
+                    "loss": float(loss),
+                    "params_m": round(n_params / 1e6, 1),
+                    "achieved_tflops_per_chip": round(achieved_tflops, 1),
+                    "mfu": round(mfu, 3),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

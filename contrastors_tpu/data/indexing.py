@@ -1,0 +1,47 @@
+"""Shard bookkeeping: build counts.json + offsets.json.gz for a bucket of
+gzip JSONL shards (reference: scripts/text/offsets_count.py semantics).
+
+offsets map each row index to its (start, end) byte range in the
+DECOMPRESSED stream, enabling mid-shard seeks for rank-aligned reads.
+"""
+
+import gzip
+import json
+import os
+from typing import Dict, List
+
+
+def index_shard(path: str) -> Dict[str, List[int]]:
+    offsets = {}
+    pos = 0
+    with gzip.open(path, "rb") as f:
+        for i, line in enumerate(f):
+            offsets[str(i)] = [pos, pos + len(line)]
+            pos += len(line)
+    return offsets
+
+
+def build_bucket_index(bucket_dir: str, pattern_suffix: str = ".jsonl.gz", key_prefix: str = ""):
+    """Writes counts.json and offsets.json.gz next to the shards.
+
+    Keys are normalized the way the streaming loader expects (last 3-4 path
+    segments; see StreamingShardDataset._norm)."""
+    shards = sorted(
+        f for f in os.listdir(bucket_dir) if f.endswith(pattern_suffix)
+    )
+    counts = {}
+    offsets = {}
+    for shard in shards:
+        full = os.path.join(bucket_dir, shard)
+        off = index_shard(full)
+        key = key_prefix + full.lstrip("/") if key_prefix else full.lstrip("/")
+        # normalize like the loader: keep the trailing segments
+        parts = full.replace("s3://", "").split("/")
+        key = "/".join(parts[-4:]) if len(parts) >= 6 else "/".join(parts[-3:])
+        counts[key] = len(off)
+        offsets[key] = off
+    with open(os.path.join(bucket_dir, "counts.json"), "w") as f:
+        json.dump(counts, f)
+    with gzip.open(os.path.join(bucket_dir, "offsets.json.gz"), "wt") as f:
+        json.dump(offsets, f)
+    return counts

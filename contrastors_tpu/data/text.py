@@ -1,0 +1,425 @@
+"""Streaming contrastive-pair data pipeline.
+
+TPU counterpart of the reference StreamingShardDataset
+(reference: dataset/text_text_loader.py:31-823). Same on-disk format and
+semantics, host-side numpy output:
+
+  * gzip JSONL shards addressed by a data-spec YAML
+    ({datasets: [{name, bucket, objective{type, columns}, ...}]});
+  * per-bucket counts.json (rows per shard) and offsets.json.gz
+    (row -> (start, end) byte ranges) enabling mid-shard seeks;
+  * every step draws ONE rank-batch from ONE dataset (homogeneous batches
+    by construction — loss is per-dataset, trainers/text_text.py);
+  * per-shard quota = floor(count / world / rank_batch) * rank_batch so
+    every rank reads disjoint, aligned windows (text_text_loader.py:306-331);
+  * exact resume via a processed-counts JSON cursor (load_state/save_state);
+  * objectives: paired [query, document], triplet [query, document,
+    negatives (sampled or first-k)], self [query]; kd_scores passthrough;
+  * "search_query: "/"search_document: "-style prefixes with per-dataset
+    overrides, EOS pinning after truncation, per-column max lengths
+    (defaults query 32 / document 256, text_text_loader.py:23).
+
+Differences by design: no torch DataLoader — batches are numpy and feed
+jax.device_put via utils/prefetch.py's double-buffer; no webdataset dep
+(brace expansion implemented here).
+"""
+
+import gzip
+import io
+import json
+import os
+import random
+import re
+from pathlib import Path
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+import yaml
+
+MAPPED_NAMES = {"paired": ["query", "document"], "self": ["query"], "triplet": ["query", "document", "negative"]}
+KEY2PREFIX = {"query": "query", "document": "passage", "negative": "passage"}
+DEFAULT_MAX_TOKENS = {"query": 32, "document": 256, "negative": 256}
+
+_BRACE = re.compile(r"\{(\d+)\.\.(\d+)\}")
+
+
+def expand_urls(pattern: str) -> List[str]:
+    """webdataset-style brace expansion: a-{000..002}.jsonl.gz -> 3 urls."""
+    m = _BRACE.search(pattern)
+    if not m:
+        return [pattern]
+    lo, hi = m.group(1), m.group(2)
+    width = len(lo)
+    out = []
+    for i in range(int(lo), int(hi) + 1):
+        out.extend(expand_urls(pattern[: m.start()] + str(i).zfill(width) + pattern[m.end():]))
+    return out
+
+
+class TokenizeCollator:
+    """Prefix + tokenize + EOS-pin one homogeneous rank batch into numpy
+    arrays (reference text_text_loader.py:601-660)."""
+
+    def __init__(
+        self,
+        tokenizer,
+        add_eos: bool = True,
+        add_prefix: bool = False,
+        col_max_length: Optional[Dict[str, int]] = None,
+    ):
+        self.tokenizer = tokenizer
+        self.add_eos = add_eos and tokenizer.eos_token is not None
+        self.add_prefix = add_prefix
+        self.col_max_length = col_max_length or dict(DEFAULT_MAX_TOKENS)
+
+    def __call__(
+        self,
+        samples: List[Dict[str, Any]],
+        objective_type: str,
+        dataset_name: str = "",
+        prefixes: Optional[Dict[str, str]] = None,
+        query_only: bool = False,
+    ) -> Dict[str, Any]:
+        out: Dict[str, Any] = {"dataset_name": dataset_name}
+        for col in MAPPED_NAMES[objective_type]:
+            if col == "negative":
+                continue  # negatives are folded into "document" lists
+            texts: List[str] = []
+            for s in samples:
+                v = s[col]
+                if isinstance(v, list):
+                    texts.extend(v)
+                else:
+                    texts.append(v)
+            if self.add_eos:
+                texts = [t + self.tokenizer.eos_token for t in texts]
+            if self.add_prefix and not (query_only and col != "query"):
+                prefix = (prefixes or {}).get(col) or KEY2PREFIX[col]
+                texts = [f"{prefix}: {t}" for t in texts]
+            enc = self.tokenizer(
+                texts,
+                padding="max_length",
+                truncation=True,
+                max_length=self.col_max_length[col],
+                return_tensors="np",
+            )
+            ids = enc["input_ids"].astype(np.int32)
+            if self.add_eos:
+                ids[:, -1] = self.tokenizer.eos_token_id
+            out[f"{col}_input_ids"] = ids
+            out[f"{col}_attention_mask"] = enc["attention_mask"].astype(np.int32)
+        if "kd_scores" in samples[0]:
+            out["kd_scores"] = np.asarray([s["kd_scores"] for s in samples], dtype=np.float32)
+        return out
+
+
+def _extract_pair(record: Dict, objective: Dict, num_negatives: int, sample_negatives: bool, rng: random.Random):
+    columns = objective["columns"]
+    ctype = objective["type"]
+    meta = record.get("metadata", {}).get("objective")
+    if meta is not None:
+        valid = meta[ctype]
+        if columns not in valid:
+            raise ValueError(f"columns {columns} invalid for type {ctype}; valid: {valid}")
+    paired: Dict[str, Any] = {}
+    for mapped, col in zip(MAPPED_NAMES[ctype], columns):
+        if mapped == "negative":
+            negs = record[col]
+            if len(negs) > num_negatives >= 0:
+                negs = rng.sample(negs, num_negatives) if sample_negatives else negs[:num_negatives]
+            paired["document"] = [paired["document"]] + negs
+        else:
+            paired[mapped] = record[col]
+    return paired
+
+
+class StreamingShardDataset:
+    def __init__(
+        self,
+        spec_path: str,
+        global_batch_size: int,
+        tokenizer,
+        seed: int = 42,
+        add_eos: bool = True,
+        add_prefix: bool = False,
+        num_negatives: int = -1,
+        weighted_sampling: bool = False,
+        infinite: bool = False,
+        sample_negatives: bool = False,
+        query_max_length: Optional[int] = None,
+        document_max_length: Optional[int] = None,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+        state_dir: Optional[str] = None,
+        run_name: Optional[str] = None,
+        verbose: bool = False,
+    ):
+        import fsspec
+        import jax
+
+        self.rank = process_index if process_index is not None else jax.process_index()
+        self.world_size = process_count if process_count is not None else jax.process_count()
+        self.rank_batch_size = global_batch_size // self.world_size
+        self.rng = random.Random(seed)
+        self.num_negatives = num_negatives
+        self.sample_negatives = sample_negatives
+        self.weighted_sampling = weighted_sampling
+        self.infinite = infinite
+        self.verbose = verbose
+        self._fsspec = fsspec
+
+        col_max = dict(DEFAULT_MAX_TOKENS)
+        if query_max_length is not None:
+            col_max["query"] = query_max_length
+        if document_max_length is not None:
+            col_max["document"] = document_max_length
+            col_max["negative"] = document_max_length
+        self.collator = TokenizeCollator(tokenizer, add_eos, add_prefix, col_max)
+
+        self.path2objective: Dict[str, Dict] = {}
+        self.path2offsets: Dict[str, Dict] = {}
+        self.path2meta: Dict[str, Dict] = {}  # prefixes / kd / query_only / ds name
+        self.counts: Dict[str, int] = {}
+        self.max_per_shard: Dict[str, int] = {}
+        self.total_samples = 0
+
+        self.ds_paths = self._parse_spec(spec_path)
+        self.current_paths = list(self.ds_paths)
+
+        state_dir = state_dir or (spec_path.replace(".yaml", "") + "_state")
+        os.makedirs(state_dir, exist_ok=True)
+        suffix = f"_{run_name}" if run_name else ""
+        self.cursor_path = os.path.join(state_dir, f"rank_{self.rank}_processed{suffix}.json")
+        self._write_cursor({p: 0 for p in self.ds_paths})
+
+    # -- spec / index ------------------------------------------------------
+    def _open_fs(self, url: str):
+        if url.startswith("s3://"):
+            return self._fsspec.filesystem("s3")
+        return self._fsspec.filesystem("file")
+
+    def _parse_spec(self, spec_path: str) -> List[str]:
+        with open(spec_path) as f:
+            spec = yaml.safe_load(f)
+        paths: List[str] = []
+        for ds in spec["datasets"]:
+            urls = expand_urls(ds["bucket"])
+            fs = self._open_fs(urls[0])
+            bucket = "/".join(ds["bucket"].split("/")[:-1])
+            with fs.open(f"{bucket}/counts.json", "r") as f:
+                counts = json.load(f)
+            if "count_per_file" in counts:
+                counts = counts["count_per_file"]
+            # index keys are stored pre-normalized (see data/indexing.py and
+            # the reference's counts convention) — only strip the scheme
+            counts = {k.replace("s3://", ""): v for k, v in counts.items()}
+            with fs.open(f"{bucket}/offsets.json.gz", "rb", compression="gzip") as f:
+                offsets = json.load(f)
+            offsets = {k.replace("s3://", ""): v for k, v in offsets.items()}
+
+            name = ds.get("name") or Path(bucket).name
+            prefixes = None
+            if ds.get("query_prefix"):
+                prefixes = {
+                    "query": ds["query_prefix"],
+                    "document": ds.get("document_prefix", ds["query_prefix"]),
+                    "negative": ds.get("document_prefix", ds["query_prefix"]),
+                }
+            for url in urls:
+                key = self._norm(url)
+                n = counts.get(key, 0)
+                quota = (n // self.world_size // self.rank_batch_size) * self.rank_batch_size
+                if quota == 0:
+                    continue
+                paths.append(url)
+                self.counts[url] = n
+                self.max_per_shard[url] = quota
+                self.total_samples += quota * self.world_size
+                self.path2objective[url] = ds["objective"]
+                self.path2offsets[url] = offsets[key]
+                self.path2meta[url] = {
+                    "name": name,
+                    "prefixes": prefixes,
+                    "kd_loss": ds.get("kd_loss", False),
+                    "query_only": ds.get("query_only", False),
+                }
+        if not paths:
+            raise ValueError(f"no usable shards in {spec_path} for batch {self.rank_batch_size}")
+        return paths
+
+    @staticmethod
+    def _norm(url: str) -> str:
+        url = url.replace("s3://", "")
+        parts = url.split("/")
+        return "/".join(parts[-4:]) if len(parts) >= 6 else "/".join(parts[-3:])
+
+    # -- cursor ------------------------------------------------------------
+    def _write_cursor(self, d: Dict[str, int]):
+        with open(self.cursor_path, "w") as f:
+            json.dump(d, f, indent=1)
+
+    def _read_cursor(self) -> Dict[str, int]:
+        with open(self.cursor_path) as f:
+            return json.load(f)
+
+    def save_state(self, ckpt_dir: str):
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json"), "w") as f:
+            json.dump(self._read_cursor(), f, indent=1)
+
+    def load_state(self, ckpt_dir: str):
+        with open(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json")) as f:
+            processed = json.load(f)
+        self._write_cursor(processed)
+        self.current_paths = [
+            p for p in self.ds_paths if processed.get(p, 0) < self.max_per_shard[p]
+        ]
+
+    def __len__(self):
+        return self.total_samples
+
+    # -- iteration -----------------------------------------------------------
+    def _get_stream(self, url: str):
+        if not hasattr(self, "_streams"):
+            self._streams: Dict[str, Any] = {}
+        if url not in self._streams:
+            fs = self._open_fs(url)
+            self._streams[url] = fs.open(
+                url, "rb", compression="gzip", cache_type="background", block_size=2**20
+            )
+        return self._streams[url]
+
+    def _read_rank_batch(self, url: str, already: int) -> List[Dict]:
+        """Read rank_batch_size records at global offset
+        already*world + rank*rank_batch; offsets index the decompressed
+        stream (text_text_loader.py:471-499). The stream is kept open so
+        same-shard reads are sequential."""
+        offsets = self.path2offsets[url]
+        start_row = already * self.world_size + self.rank * self.rank_batch_size
+        first = offsets[str(start_row)][0]
+        last = offsets[str(start_row + self.rank_batch_size - 1)][1]
+        stream = self._get_stream(url)
+        if stream.tell() != first:
+            stream.seek(first)
+        blob = stream.read(last - first)
+        records = []
+        for i in range(start_row, start_row + self.rank_batch_size):
+            s, e = offsets[str(i)]
+            records.append(json.loads(blob[s - first : e - first].decode()))
+        return records
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        while True:
+            while self.current_paths:
+                if self.weighted_sampling:
+                    cursor = self._read_cursor()
+                    weights = [
+                        self.counts[p] - cursor[p] * self.world_size for p in self.current_paths
+                    ]
+                    url = self.rng.choices(self.current_paths, weights=weights, k=1)[0]
+                else:
+                    url = self.rng.choice(self.current_paths)
+
+                cursor = self._read_cursor()
+                already = cursor[url]
+                records = self._read_rank_batch(url, already)
+                cursor[url] = already + self.rank_batch_size
+                self._write_cursor(cursor)
+                if cursor[url] >= self.max_per_shard[url]:
+                    self.current_paths.remove(url)
+
+                meta = self.path2meta[url]
+                objective = self.path2objective[url]
+                pairs = []
+                for r in records:
+                    p = _extract_pair(r, objective, self.num_negatives, self.sample_negatives, self.rng)
+                    if meta["kd_loss"]:
+                        p["kd_scores"] = [r["document_score"]] + r["negatives_scores"][: self.num_negatives]
+                    pairs.append(p)
+                yield self.collator(
+                    pairs,
+                    objective["type"],
+                    dataset_name=meta["name"],
+                    prefixes=meta["prefixes"],
+                    query_only=meta["query_only"],
+                )
+            if not self.infinite:
+                return
+            self.current_paths = list(self.ds_paths)
+            self._write_cursor({p: 0 for p in self.ds_paths})
+
+
+class LocalJsonlDataset:
+    """Map-style loader over local jsonl(.gz) files
+    (reference: text_text_loader.py:663-823 LocalShardDataset +
+    get_local_dataloader). Used for finetune-scale data."""
+
+    def __init__(
+        self,
+        files: List[str],
+        global_batch_size: int,
+        tokenizer,
+        objective: Optional[Dict] = None,
+        seed: int = 42,
+        add_eos: bool = True,
+        add_prefix: bool = False,
+        num_negatives: int = -1,
+        sample_negatives: bool = False,
+        query_max_length: Optional[int] = None,
+        document_max_length: Optional[int] = None,
+        shuffle: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
+        dataset_name: str = "local",
+        infinite: bool = False,
+    ):
+        self.records = []
+        for path in files:
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rt") as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        self.records.append(json.loads(line))
+        self.objective = objective or {"type": "paired", "columns": ["query", "document"]}
+        self.rng = random.Random(seed)
+        self.shuffle = shuffle
+        self.rank = process_index
+        self.world = process_count
+        self.rank_batch = global_batch_size // process_count
+        self.num_negatives = num_negatives
+        self.sample_negatives = sample_negatives
+        self.dataset_name = dataset_name
+        self.infinite = infinite
+        col_max = dict(DEFAULT_MAX_TOKENS)
+        if query_max_length:
+            col_max["query"] = query_max_length
+        if document_max_length:
+            col_max["document"] = document_max_length
+            col_max["negative"] = document_max_length
+        self.collator = TokenizeCollator(tokenizer, add_eos, add_prefix, col_max)
+
+    def __len__(self):
+        per_rank = len(self.records) // self.world // self.rank_batch
+        return per_rank * self.world * self.rank_batch
+
+    def num_batches(self):
+        return len(self.records) // self.world // self.rank_batch
+
+    def __iter__(self):
+        while True:
+            order = list(range(len(self.records)))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            n = self.num_batches()
+            for b in range(n):
+                idx = order[(b * self.world + self.rank) * self.rank_batch :][: self.rank_batch]
+                pairs = [
+                    _extract_pair(
+                        self.records[i], self.objective, self.num_negatives, self.sample_negatives, self.rng
+                    )
+                    for i in idx
+                ]
+                yield self.collator(pairs, self.objective["type"], dataset_name=self.dataset_name)
+            if not self.infinite:
+                return

@@ -55,8 +55,11 @@ def grad_cache_loss_and_grads(
     rng: Optional[jax.Array] = None,
     router_aux_coef: float = 0.0,
     d_trainable: bool = True,
+    extra_params: Any = None,
 ) -> Tuple[jnp.ndarray, Any]:
-    """Returns (loss, param_grads).
+    """Returns (loss, param_grads) — or (loss, param_grads, extra_grads)
+    when extra_params is given (loss-stage parameters such as a trainable
+    logit scale: loss_fn is then called as loss_fn(q, d, extra_params)).
 
     encode_*(params, chunk_batch, chunk_rng) -> {"embedding": [c, D],
         optionally "router_aux": scalar} — router_aux is the per-chunk
@@ -94,7 +97,13 @@ def grad_cache_loss_and_grads(
     d_embs = jax.lax.stop_gradient(d_embs).reshape(-1, d_embs.shape[-1])
 
     # ---- loss on full embeddings, grads wrt embeddings ---------------------
-    loss, (gq, gd) = jax.value_and_grad(loss_fn, argnums=(0, 1))(q_embs, d_embs)
+    extra_grads = None
+    if extra_params is not None:
+        loss, (gq, gd, extra_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+            q_embs, d_embs, extra_params
+        )
+    else:
+        loss, (gq, gd) = jax.value_and_grad(loss_fn, argnums=(0, 1))(q_embs, d_embs)
     gq = gq.reshape(n_q, chunk_size, -1)
     gd = gd.reshape(n_d, chunk_size, -1)
 
@@ -125,4 +134,6 @@ def grad_cache_loss_and_grads(
     if d_trainable:
         grads = accumulate(encode_d, rng_d, d_chunks, gd, grads)
 
+    if extra_params is not None:
+        return loss, grads, extra_grads
     return loss, grads

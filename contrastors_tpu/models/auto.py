@@ -1,0 +1,182 @@
+"""Model factory: ModelArgs -> (flax module, params).
+
+Counterpart of the reference BiEncoder's trunk dispatch
+(reference: models/biencoder/modeling_biencoder.py:155-250), which sniffs the
+model family from the checkpoint name. Offline-first: `model_name` may be a
+local directory containing an HF config.json (+ model.safetensors /
+pytorch_model.bin); `pretrained=false` builds random weights from the config.
+"""
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrastors_tpu.config import ModelArgs
+from contrastors_tpu.models.biencoder import BiEncoder
+from contrastors_tpu.models.hf_interop import (
+    bert_config_to_trunk_config,
+    bert_state_dict_to_flax,
+)
+from contrastors_tpu.models.model_config import TrunkConfig
+
+
+def _load_hf_config(path: str) -> Dict[str, Any]:
+    cfg_path = os.path.join(path, "config.json")
+    with open(cfg_path) as f:
+        return json.load(f)
+
+
+def _load_state_dict(path: str) -> Optional[Dict[str, np.ndarray]]:
+    st_path = os.path.join(path, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return {k: v.astype(np.float32) for k, v in load_file(st_path).items()}
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    if os.path.exists(bin_path):
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        return {k: v.float().numpy() for k, v in sd.items()}
+    return None
+
+
+class _NS:
+    def __init__(self, d):
+        self.__dict__.update(d)
+
+
+def sniff_family(model_type: str, model_name: str) -> str:
+    name = (model_name or "").lower()
+    if model_type in ("bert", "nomic_bert", "roberta", "xlm-roberta"):
+        return "encoder"
+    if model_type in ("gpt_neox", "llama", "gpt2", "open_lm", "openlm"):
+        return "decoder"
+    if model_type in ("vit", "clip_vision_model", "dinov2") or "vit" in name or "eva02" in name:
+        return "vision"
+    return "encoder"
+
+
+def trunk_config_from_hf_dict(hf: Dict[str, Any], **overrides) -> Tuple[TrunkConfig, str]:
+    model_type = hf.get("model_type", "bert")
+    family = sniff_family(model_type, hf.get("_name_or_path", ""))
+    ns = _NS(hf)
+    if family == "encoder":
+        cfg = bert_config_to_trunk_config(ns, **overrides)
+    elif family == "decoder":
+        from contrastors_tpu.models.hf_interop_decoder import decoder_config_to_trunk_config
+
+        cfg = decoder_config_to_trunk_config(hf, **overrides)
+    else:
+        from contrastors_tpu.models.hf_interop_vit import vit_config_to_trunk_config
+
+        cfg = vit_config_to_trunk_config(hf, **overrides)
+    return cfg, family
+
+
+def load_biencoder(
+    model_args: ModelArgs,
+    dtype=jnp.float32,
+    rng: Optional[jax.Array] = None,
+    trunk_overrides: Optional[Dict[str, Any]] = None,
+) -> Tuple[BiEncoder, Any, TrunkConfig]:
+    """Returns (module, params, trunk_config)."""
+    path = model_args.checkpoint or model_args.model_name
+    if path is None or not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"model path {path!r} not found locally. This framework is "
+            "offline-first: pass a directory containing an HF config.json "
+            "(and model weights for pretrained=true)."
+        )
+    hf_cfg = _load_hf_config(path)
+    overrides = dict(trunk_overrides or {})
+    overrides.setdefault("attn_impl", model_args.attn_impl)
+    if model_args.num_experts:
+        overrides.update(
+            num_experts=model_args.num_experts,
+            moe_top_k=model_args.moe_top_k,
+            moe_every_n_layers=model_args.moe_every_n_layers,
+            ffn_div=model_args.ffn_div,
+            moe_normalize_expert_weights=model_args.moe_normalize_expert_weights,
+            expert_choice_router=model_args.expert_choice_router,
+            num_shared_experts=model_args.num_shared_experts,
+        )
+    if model_args.pad_vocab_to_multiple_of:
+        overrides["pad_vocab_size_multiple"] = model_args.pad_vocab_to_multiple_of
+    if model_args.activation_function and "hidden_act" not in hf_cfg:
+        overrides.setdefault("activation_function", model_args.activation_function)
+
+    cfg, family = trunk_config_from_hf_dict(hf_cfg, **overrides)
+
+    module = BiEncoder(
+        config=cfg,
+        trunk_type=family,
+        pooling=model_args.pooling or "mean",
+        projection_dim=model_args.projection_dim,
+        hamming=model_args.hamming,
+        freeze=model_args.freeze,
+        dtype=dtype,
+        remat=model_args.gradient_checkpointing,
+    )
+
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    if family == "vision":
+        dummy = {"pixel_values": jnp.zeros((1, cfg.num_channels, cfg.img_size, cfg.img_size))}
+    else:
+        dummy = {
+            "input_ids": jnp.zeros((1, 8), jnp.int32),
+            "attention_mask": jnp.ones((1, 8), jnp.int32),
+        }
+    params = jax.eval_shape(lambda: module.init(rng, **dummy))
+    params = jax.tree_util.tree_map(lambda s: None, params)  # placeholder
+
+    if model_args.pretrained:
+        sd = _load_state_dict(path)
+        if sd is None:
+            raise FileNotFoundError(f"pretrained=true but no weights found in {path}")
+        if family == "encoder":
+            trunk = bert_state_dict_to_flax(sd, cfg)
+        elif family == "decoder":
+            from contrastors_tpu.models.hf_interop_decoder import decoder_state_dict_to_flax
+
+            trunk = decoder_state_dict_to_flax(sd, cfg, hf_cfg.get("model_type", "gpt_neox"))
+        else:
+            from contrastors_tpu.models.hf_interop_vit import vit_state_dict_to_flax
+
+            trunk = vit_state_dict_to_flax(sd, cfg, hf_cfg.get("model_type", "vit"))
+        init_params = module.init(rng, **dummy)
+        merged = _merge_trunk(init_params, trunk["params"])
+        return module, merged, cfg
+    else:
+        params = module.init(rng, **dummy)
+        return module, params, cfg
+
+
+def _merge_trunk(init_params: Any, trunk_params: Dict) -> Any:
+    """Overlay remapped trunk weights onto randomly-initialized params
+    (pooling heads / projections stay random, like the reference's
+    strict=False load)."""
+    import flax
+
+    init = flax.core.unfreeze(init_params) if hasattr(init_params, "unfreeze") else dict(init_params)
+    target = init["params"]["trunk"]
+
+    def overlay(dst, src, path=""):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                if k in dst:
+                    overlay(dst[k], v, path + "/" + k)
+            else:
+                if k in dst:
+                    expected = dst[k].shape
+                    got = np.asarray(v).shape
+                    if expected != got:
+                        raise ValueError(f"shape mismatch at {path}/{k}: {expected} vs {got}")
+                    dst[k] = jnp.asarray(v, dtype=dst[k].dtype)
+
+    overlay(target, trunk_params)
+    return init

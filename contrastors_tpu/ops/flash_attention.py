@@ -18,6 +18,7 @@ dk/dv accumulated over q blocks, with delta = rowsum(dO * O) precomputed.
 """
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -32,9 +33,18 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _interpret_enabled() -> bool:
+    """Off-TPU, the Pallas interpreter is only used when explicitly
+    requested (kernel parity tests); models fall back to the numerically
+    interchangeable SDPA path instead."""
+    return os.environ.get("CONTRASTORS_TPU_FLASH_INTERPRET", "0") == "1"
+
+
 def flash_shape_ok(q, k) -> bool:
-    """Flash path requirements: MHA (no GQA) and head_dim lane-friendly."""
-    return q.shape[2] == k.shape[2] and q.shape[3] % 8 == 0
+    """Flash path requirements: MHA (no GQA) and a lane-friendly head dim.
+    head_dim < 64 (toy models) compiles pathologically slowly in Mosaic and
+    gains nothing over the fused SDPA path, so it falls back."""
+    return q.shape[2] == k.shape[2] and q.shape[3] % 8 == 0 and q.shape[3] >= 64
 
 
 # ---------------------------------------------------------------------------
@@ -389,6 +399,18 @@ def flash_attention(
     T = k.shape[1]
     if softmax_scale is None:
         softmax_scale = 1.0 / (D**0.5)
+
+    if _use_interpret() and not _interpret_enabled():
+        from contrastors_tpu.ops.sdpa import sdpa
+
+        return sdpa(
+            q, k, v,
+            attention_mask=attention_mask,
+            segment_ids=segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            causal=causal,
+            softmax_scale=softmax_scale,
+        )
 
     # resolve segments: mask and segment ids merge into int32 ids, 0 = pad
     masked = attention_mask is not None or segment_ids is not None

@@ -1,0 +1,48 @@
+"""Device mesh construction and batch sharding.
+
+Replaces the reference's NCCL/DDP/DeepSpeed process-group plumbing
+(reference: train.py:114-118, distributed.py:5-82) with a jax.sharding.Mesh.
+Training runs pjit/global-style: the batch is sharded over the "data" axis,
+parameters are replicated (optionally with optimizer-state sharding), and
+XLA GSPMD inserts the embedding all-gathers for the contrastive loss over
+ICI. "tensor"/"expert" axes are reserved for scale-out beyond the
+reference's DDP-only design (SURVEY.md §2.10).
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, tensor: int = 1, expert: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        assert n % (tensor * expert) == 0, f"{n} devices not divisible by tensor*expert"
+        data = n // (tensor * expert)
+    assert data * tensor * expert == n, (
+        f"mesh {data}x{tensor}x{expert} != {n} devices"
+    )
+    arr = np.asarray(devices).reshape(data, expert, tensor)
+    return Mesh(arr, ("data", "expert", "tensor"))
+
+
+def data_axis_size(mesh: Mesh) -> int:
+    return mesh.shape["data"]
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with leading dim sharded over the data axis."""
+    sharding = NamedSharding(mesh, P("data"))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,55 @@
+"""CLI launcher (reference: src/contrastors/train.py:51-131).
+
+Usage: python -m contrastors_tpu.train --config=configs/train/X.yaml \
+           [--dtype=bf16] [--key=value overrides]
+
+NCCL/DeepSpeed process-group setup is replaced by jax.distributed (multi-host
+auto-detected) + the mesh built inside BaseTrainer.
+"""
+
+import argparse
+import sys
+
+from contrastors_tpu.read import read_config
+from contrastors_tpu.trainers import TRAINER_REGISTRY
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(description="contrastors_tpu trainer")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument("--learning_rate", type=float)
+    parser.add_argument("--batch_size", type=int)
+    parser.add_argument("--num_epochs", type=int)
+    parser.add_argument("--num_train_steps", type=int)
+    parser.add_argument("--output_dir")
+    parser.add_argument("--seed", type=int)
+    parser.add_argument("--wandb", action="store_true", default=None)
+    return parser.parse_args(argv)
+
+
+def update_config_with_args(config, args):
+    """CLI flags override matching fields in any arg group
+    (reference train.py:87-94)."""
+    for group in (config.train_args, config.data_args, config.model_args):
+        if group is None:
+            continue
+        for key, value in vars(args).items():
+            if value is not None and hasattr(group, key):
+                setattr(group, key, value)
+    return config
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = read_config(args.config)
+    config = update_config_with_args(config, args)
+
+    model_type = (config.model_args or config.text_model_args).model_type
+    trainer_cls = TRAINER_REGISTRY[model_type]
+    trainer = trainer_cls(config, args.dtype)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""BaseTrainer: owns the whole run.
+
+TPU counterpart of the reference BaseTrainer (reference: trainers/base.py:28-533):
+seeding, tracker, tokenizer, model/data/optimizer/scheduler construction,
+checkpoint save/load (orbax for the train-state pytree + dataset cursor +
+PRNG key, replacing torch.save + per-rank CUDA RNG capture, base.py:275-344),
+and the train loop with gradient accumulation, grad clipping, periodic eval
+and save. DeepSpeed is gone: the train step is one jitted SPMD function over
+the mesh; grads average at the jit boundary.
+"""
+
+import os
+import time
+from abc import ABC, abstractmethod
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrastors_tpu.config import Config
+from contrastors_tpu.parallel import make_mesh, shard_batch
+from contrastors_tpu.utils.logging import Tracker
+from contrastors_tpu.utils.optim import make_optimizer, make_schedule
+
+DTYPES = {"bf16": jnp.bfloat16, "fp32": jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
+class BaseTrainer(ABC):
+    def __init__(self, config: Config, dtype: str = "bf16"):
+        self.config = config
+        self.dtype = DTYPES[dtype]
+        ta = config.train_args
+        self.seed = ta.seed if ta.seed is not None else getattr(config.data_args, "seed", 42)
+        self.rng = jax.random.PRNGKey(self.seed)
+
+        pa = config.parallel_args
+        self.mesh = make_mesh(pa.data, pa.tensor, pa.expert)
+        self.process_index = jax.process_index()
+
+        self.tokenizer = self.get_tokenizer()
+        self.dataloader, self.steps_per_epoch = self.get_dataloaders()
+        self.total_steps = ta.num_train_steps or (ta.num_epochs * self.steps_per_epoch)
+
+        self.model, self.params = self.get_model()
+
+        warmup = ta.warmup_steps or (
+            int(self.total_steps * ta.warmup_pct) if ta.warmup_pct else 0
+        )
+        self.schedule = make_schedule(
+            ta.schedule_type, ta.learning_rate, self.total_steps, warmup, ta.cooldown_steps
+        )
+        self.tx = make_optimizer(
+            self.params,
+            self.schedule,
+            weight_decay=ta.weight_decay,
+            beta1=ta.adam_beta1,
+            beta2=ta.adam_beta2,
+            eps=ta.eps,
+            max_grad_norm=ta.max_grad_norm,
+            frozen_mask=self.frozen_mask(),
+        )
+        self.opt_state = self.tx.init(self.params)
+        self.step = 0
+
+        self.tracker = Tracker(
+            enabled_wandb=ta.wandb,
+            project=ta.wandb_project_name,
+            entity=ta.wandb_entity,
+            run_name=ta.wandb_run_name,
+            group=ta.wandb_group,
+            output_dir=ta.output_dir,
+            hyperparams=config.model_dump(),
+            print_every=ta.log_lr_every,
+        )
+
+        if ta.checkpoint:
+            self.load_state(ta.checkpoint)
+
+    # -- hooks ---------------------------------------------------------------
+    def get_tokenizer(self):
+        margs = self.config.model_args or self.config.text_model_args
+        name = margs.tokenizer_name or margs.model_name
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(name)
+
+    def frozen_mask(self):
+        """pytree of bools, True = trainable; None = all trainable."""
+        return None
+
+    @abstractmethod
+    def get_model(self):
+        ...
+
+    @abstractmethod
+    def get_dataloaders(self):
+        """-> (iterator over host batches, steps_per_epoch)"""
+        ...
+
+    @abstractmethod
+    def make_train_step(self):
+        """-> jitted fn(params, opt_state, batch, rng, step) ->
+        (params, opt_state, metrics)"""
+        ...
+
+    def eval_loop(self, step: int):  # optional
+        return {}
+
+    # -- checkpointing ---------------------------------------------------------
+    def save_state(self, out_dir: str, step: int):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(out_dir, f"step_{step}"))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.join(path, "state"),
+                {"params": self.params, "opt_state": self.opt_state, "rng": self.rng},
+                force=True,
+            )
+        if hasattr(self.dataloader, "save_state"):
+            self.dataloader.save_state(path)
+        if self.process_index == 0:
+            with open(os.path.join(path, "step.txt"), "w") as f:
+                f.write(str(step))
+
+    def load_state(self, path: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            target = {"params": self.params, "opt_state": self.opt_state, "rng": self.rng}
+            restored = ckptr.restore(os.path.join(path, "state"), target)
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.rng = restored["rng"]
+        if hasattr(self.dataloader, "load_state"):
+            self.dataloader.load_state(path)
+        step_file = os.path.join(path, "step.txt")
+        if os.path.exists(step_file):
+            self.step = int(open(step_file).read().strip())
+        print(f"[trainer] resumed from {path} at step {self.step}")
+
+    # -- loop ------------------------------------------------------------------
+    def train(self):
+        ta = self.config.train_args
+        train_step = self.make_train_step()
+        profile_dir = None
+        if ta.profile:
+            profile_dir = os.path.join(ta.output_dir or ".", "trace")
+            jax.profiler.start_trace(profile_dir)
+
+        t_start = time.time()
+        last_log = t_start
+        examples = 0
+        data_iter = iter(self.dataloader)
+        with self.mesh:
+            while self.step < self.total_steps:
+                try:
+                    host_batch = next(data_iter)
+                except StopIteration:
+                    data_iter = iter(self.dataloader)
+                    host_batch = next(data_iter)
+
+                meta = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
+                arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
+                batch = shard_batch(arrays, self.mesh)
+
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.params, self.opt_state, metrics = train_step(
+                    self.params, self.opt_state, batch, step_rng
+                )
+                self.step += 1
+                examples += next(iter(arrays.values())).shape[0]
+
+                if self.step % ta.log_lr_every == 0:
+                    now = time.time()
+                    metrics = dict(metrics)
+                    metrics["lr"] = self.schedule(self.step)
+                    metrics["examples_per_sec"] = examples / (now - last_log)
+                    if meta.get("dataset_name"):
+                        ds = meta["dataset_name"]
+                        if "accuracy" in metrics:
+                            metrics[f"accuracy/{ds}"] = metrics.pop("accuracy")
+                    self.tracker.log(metrics, self.step)
+                    last_log = now
+                    examples = 0
+
+                if ta.save_every and self.step % ta.save_every == 0 and ta.output_dir:
+                    self.save_state(ta.output_dir, self.step)
+
+                if (
+                    ta.eval_strategy == "steps"
+                    and ta.eval_steps
+                    and self.step % ta.eval_steps == 0
+                ):
+                    eval_metrics = self.eval_loop(self.step)
+                    if eval_metrics:
+                        self.tracker.log(eval_metrics, self.step)
+
+                if ta.profile and self.step >= 10:
+                    break
+
+        if ta.profile:
+            jax.profiler.stop_trace()
+            print(f"[trainer] profile written to {profile_dir}")
+        if ta.output_dir:
+            self.save_state(ta.output_dir, self.step)
+        self.tracker.finish()
+        return self.step

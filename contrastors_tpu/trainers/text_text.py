@@ -1,0 +1,208 @@
+"""Contrastive text trainer (model_type: encoder).
+
+TPU counterpart of the reference TextTextTrainer
+(reference: trainers/text_text.py:24-471): BiEncoder + LogitScale, streaming
+or local pair data, per-dataset InfoNCE with gathered documents, optional
+matryoshka multi-dim loss, MoE router aux loss, GradCache path, logit clamp.
+
+Execution style is pjit/global: the train step is jitted over the mesh with
+the batch sharded on "data"; the q @ D.T similarity runs on global arrays so
+XLA inserts the all-gather (SURVEY.md §2.10).
+"""
+
+import glob
+import os
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
+from contrastors_tpu.losses import clip_loss, matryoshka_clip_loss, router_aux_loss
+from contrastors_tpu.models.auto import load_biencoder
+from contrastors_tpu.models.biencoder import LogitScale
+from contrastors_tpu.data import LocalJsonlDataset, StreamingShardDataset
+from contrastors_tpu.trainers.base import BaseTrainer
+
+
+class TextTextTrainer(BaseTrainer):
+    def get_model(self):
+        margs = self.config.model_args
+        self.rng, init_rng = jax.random.split(self.rng)
+        module, params, trunk_cfg = load_biencoder(margs, dtype=self.dtype, rng=init_rng)
+        self.biencoder = module
+        self.trunk_config = trunk_cfg
+
+        scale = LogitScale(
+            logit_scale_init=margs.logit_scale, trainable=margs.trainable_logit_scale
+        )
+        scale_params = scale.init(jax.random.PRNGKey(0), jnp.ones(()))
+        self.logit_scale = scale
+        return module, {"model": params, "logit_scale": scale_params}
+
+    def frozen_mask(self):
+        margs = self.config.model_args
+        mask = jax.tree_util.tree_map(lambda _: True, self.params)
+        if margs.freeze:
+            mask["model"] = jax.tree_util.tree_map(lambda _: False, self.params["model"])
+        if not margs.trainable_logit_scale:
+            mask["logit_scale"] = jax.tree_util.tree_map(
+                lambda _: False, self.params["logit_scale"]
+            )
+        return mask
+
+    def get_dataloaders(self):
+        dargs = self.config.data_args
+        margs = self.config.model_args
+        common = dict(
+            tokenizer=self.tokenizer,
+            seed=dargs.seed,
+            add_eos=self.tokenizer.eos_token is not None,
+            add_prefix=margs.add_prefix,
+            num_negatives=margs.num_negatives,
+            sample_negatives=dargs.sample_negatives,
+            query_max_length=dargs.query_max_length,
+            document_max_length=dargs.document_max_length,
+        )
+        if dargs.streaming and dargs.input_shards.endswith(".yaml"):
+            ds = StreamingShardDataset(
+                dargs.input_shards,
+                global_batch_size=dargs.batch_size,
+                weighted_sampling=dargs.weighted_sampling,
+                state_dir=os.path.join(self.config.train_args.output_dir or ".", "data_state"),
+                run_name=self.config.train_args.wandb_run_name,
+                verbose=dargs.verbose,
+                **common,
+            )
+            steps = len(ds) // dargs.batch_size
+        else:
+            files = sorted(glob.glob(dargs.input_shards)) if any(
+                ch in dargs.input_shards for ch in "*?["
+            ) else [dargs.input_shards]
+            ds = LocalJsonlDataset(
+                files,
+                global_batch_size=dargs.batch_size,
+                objective={"type": "paired", "columns": ["query", "document"]},
+                shuffle=dargs.shuffle,
+                **common,
+            )
+            steps = ds.num_batches()
+        return ds, steps
+
+    # -- loss pieces ----------------------------------------------------------
+    def _scale_fn(self, scale_params):
+        return lambda x: self.logit_scale.apply(scale_params, x)
+
+    def _encode(self, model_params, input_ids, attention_mask, rng, deterministic=False):
+        rngs = {"dropout": rng} if rng is not None else None
+        return self.biencoder.apply(
+            model_params,
+            input_ids=input_ids,
+            attention_mask=attention_mask,
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+
+    def make_train_step(self):
+        ta = self.config.train_args
+        margs = self.config.model_args
+        matryoshka = ta.matryoshka_dims
+        use_moe = margs.num_experts > 0
+        aux_coef = ta.router_aux_loss_coef
+        logit_max = float(jnp.log(ta.logit_max)) if ta.clamp_logits else None
+
+        def clamp_scale(params):
+            if logit_max is None or not margs.trainable_logit_scale:
+                return params
+            s = params["logit_scale"]["params"]["logit_scale"]
+            params = dict(params)
+            params["logit_scale"] = {"params": {"logit_scale": jnp.minimum(s, logit_max)}}
+            return params
+
+        if ta.grad_cache:
+            chunk = ta.chunk_size or 64
+
+            def encode(model_params, chunk_batch, chunk_rng):
+                out = self._encode(
+                    model_params,
+                    chunk_batch["input_ids"],
+                    chunk_batch["attention_mask"],
+                    chunk_rng,
+                )
+                res = {"embedding": out["embedding"]}
+                if use_moe and out["router_logits"]:
+                    res["router_aux"] = router_aux_loss(
+                        out["router_logits"],
+                        margs.num_experts,
+                        margs.moe_top_k,
+                        attention_mask=chunk_batch["attention_mask"],
+                    )
+                return res
+
+            def loss_fn(q, d, scale_params):
+                loss, _ = clip_loss(q, d, self._scale_fn(scale_params), bidirectional=ta.loss_fn == "clip_bidirectional")
+                return loss
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, batch, rng):
+                qb = {"input_ids": batch["query_input_ids"], "attention_mask": batch["query_attention_mask"]}
+                db = {"input_ids": batch["document_input_ids"], "attention_mask": batch["document_attention_mask"]}
+                loss, grads_model, grads_scale = grad_cache_loss_and_grads(
+                    params["model"],
+                    qb,
+                    db,
+                    encode,
+                    encode,
+                    loss_fn,
+                    chunk_size=chunk,
+                    rng=rng,
+                    router_aux_coef=aux_coef if use_moe else 0.0,
+                    extra_params=params["logit_scale"],
+                )
+                grads = {"model": grads_model, "logit_scale": grads_scale}
+                updates, new_opt = self.tx.update(grads, opt_state, params)
+                new_params = clamp_scale(optax.apply_updates(params, updates))
+                gnorm = optax.global_norm(grads)
+                return new_params, new_opt, {"loss": loss, "grad_norm": gnorm}
+
+            return train_step
+
+        def loss_fn(params, batch, rng):
+            rq, rd = jax.random.split(rng)
+            q = self._encode(params["model"], batch["query_input_ids"], batch["query_attention_mask"], rq)
+            d = self._encode(params["model"], batch["document_input_ids"], batch["document_attention_mask"], rd)
+            scale_fn = self._scale_fn(params["logit_scale"])
+            metrics = {}
+            if matryoshka:
+                loss = matryoshka_clip_loss(
+                    q["embedding"],
+                    d["embedding"],
+                    scale_fn,
+                    dims=matryoshka,
+                    weights=ta.matryoshka_loss_weights,
+                )
+                acc = jnp.zeros(())
+            else:
+                loss, acc = clip_loss(q["embedding"], d["embedding"], scale_fn)
+            metrics["accuracy"] = acc
+            if use_moe:
+                logits = (q["router_logits"] or []) + (d["router_logits"] or [])
+                if logits:
+                    aux = router_aux_loss(logits, margs.num_experts, margs.moe_top_k)
+                    loss = loss + aux_coef * aux
+                    metrics["router_aux"] = aux
+            return loss, metrics
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = clamp_scale(optax.apply_updates(params, updates))
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_params, new_opt, metrics
+
+        return train_step

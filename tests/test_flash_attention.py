@@ -6,6 +6,10 @@ Parity bar follows the reference's kernel criterion
 padding masks, and packed segment ids.
 """
 
+import os
+
+os.environ["CONTRASTORS_TPU_FLASH_INTERPRET"] = "1"  # exercise the kernel via the interpreter off-TPU
+
 import numpy as np
 import pytest
 import jax

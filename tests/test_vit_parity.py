@@ -1,0 +1,106 @@
+"""Vision tower parity vs HF ViT / CLIP-vision / DINOv2, randomly
+initialized fp32 (mirrors reference tests/test_flash_vit.py,
+test_flash_clip.py, test_flash_dinov2.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+from transformers import (
+    CLIPVisionConfig,
+    CLIPVisionModel,
+    Dinov2Config,
+    Dinov2Model,
+    ViTConfig,
+    ViTModel as HFViTModel,
+)
+
+from contrastors_tpu.models.hf_interop import torch_state_dict_to_numpy
+from contrastors_tpu.models.hf_interop_vit import (
+    vit_config_to_trunk_config,
+    vit_state_dict_to_flax,
+)
+from contrastors_tpu.models.vit import ViTModel
+
+
+def _pixels(rng, b=2, c=3, s=32):
+    return rng.normal(size=(b, c, s, s)).astype(np.float32)
+
+
+def test_hf_vit_parity():
+    torch.manual_seed(0)
+    hf_cfg = ViTConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    hf = HFViTModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = vit_config_to_trunk_config(hf_cfg.to_dict())
+    params = vit_state_dict_to_flax(torch_state_dict_to_numpy(hf.state_dict()), cfg, "vit")
+
+    rng = np.random.default_rng(0)
+    px = _pixels(rng)
+    with torch.no_grad():
+        ref = hf(torch.tensor(px)).last_hidden_state.numpy()
+    out = ViTModel(config=cfg).apply(params, jnp.asarray(px))["last_hidden_state"]
+    err = np.abs(np.asarray(out) - ref).max()
+    assert err < 5e-5, f"hf-vit err {err}"
+
+
+def test_clip_vision_parity():
+    torch.manual_seed(0)
+    hf_cfg = CLIPVisionConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        hidden_act="quick_gelu",
+        attention_dropout=0.0,
+    )
+    hf = CLIPVisionModel(hf_cfg).eval()
+    cfg = vit_config_to_trunk_config(hf_cfg.to_dict())
+    sd = torch_state_dict_to_numpy(hf.state_dict())
+    params = vit_state_dict_to_flax(sd, cfg, "clip_vision_model")
+
+    rng = np.random.default_rng(1)
+    px = _pixels(rng)
+    with torch.no_grad():
+        # CLIP applies post_layernorm only to the pooled CLS; our ViT
+        # (like the reference's, models/vit/clip.py) applies ln_f to the
+        # whole sequence — CLS rows must agree.
+        ref_pooled = hf(torch.tensor(px)).pooler_output.numpy()
+    out = ViTModel(config=cfg).apply(params, jnp.asarray(px))["last_hidden_state"]
+    err = np.abs(np.asarray(out)[:, 0] - ref_pooled).max()
+    assert err < 5e-5, f"clip cls err {err}"
+
+
+def test_dinov2_parity():
+    torch.manual_seed(0)
+    hf_cfg = Dinov2Config(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        layerscale_value=1.0,
+    )
+    hf = Dinov2Model(hf_cfg).eval()
+    cfg = vit_config_to_trunk_config(hf_cfg.to_dict())
+    params = vit_state_dict_to_flax(torch_state_dict_to_numpy(hf.state_dict()), cfg, "dinov2")
+
+    rng = np.random.default_rng(2)
+    px = _pixels(rng)
+    with torch.no_grad():
+        ref = hf(torch.tensor(px)).last_hidden_state.numpy()
+    out = ViTModel(config=cfg).apply(params, jnp.asarray(px))["last_hidden_state"]
+    err = np.abs(np.asarray(out) - ref).max()
+    assert err < 5e-5, f"dinov2 err {err}"
