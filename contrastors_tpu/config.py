@@ -114,7 +114,8 @@ class MLMDataArgs(DataArgs):
     def _checks(self):
         if self.tokenized_dataset is None and self.task_name is None:
             raise ValueError("one of tokenized_dataset / task_name must be set")
-        if self.tokenized_dataset is not None:
+        # task_name (GLUE) datasets are not masked; MLM corpora need probs
+        if self.tokenized_dataset is not None and self.task_name is None:
             if self.mlm_prob is None or self.val_mlm_prob is None:
                 raise ValueError("mlm_prob and val_mlm_prob are required with tokenized_dataset")
         for p in (self.mlm_prob, self.val_mlm_prob):

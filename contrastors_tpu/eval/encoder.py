@@ -1,0 +1,102 @@
+"""Inference encoders: BiEncoder -> embedding API for MTEB/BEIR-style evals.
+
+TPU counterpart of the reference Encoder/STransformer adapters
+(reference: eval/encoder.py:106-374). The reference spawns one CUDA worker
+per GPU with a multiprocessing queue; on TPU a single jitted encode is SPMD
+over the mesh (batch sharded on the data axis), so the pool disappears.
+Prefixes, normalization, binarization, and matryoshka-dim slicing are
+preserved.
+"""
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class Encoder:
+    def __init__(
+        self,
+        module,
+        params,
+        tokenizer,
+        seq_len: int = 512,
+        batch_size: int = 64,
+        query_prefix: Optional[str] = "search_query",
+        document_prefix: Optional[str] = "search_document",
+        normalize: bool = True,
+        binarize: bool = False,
+        matryoshka_dim: Optional[int] = None,
+        mesh=None,
+    ):
+        self.module = module
+        self.params = params
+        self.tokenizer = tokenizer
+        self.seq_len = seq_len
+        self.batch_size = batch_size
+        self.query_prefix = query_prefix
+        self.document_prefix = document_prefix
+        self.normalize = normalize
+        self.binarize = binarize
+        self.matryoshka_dim = matryoshka_dim
+        self.mesh = mesh
+
+        @jax.jit
+        def _encode(params, ids, mask):
+            out = module.apply(
+                params,
+                input_ids=ids,
+                attention_mask=mask,
+                normalize=False,
+                deterministic=True,
+            )
+            return out["embedding"]
+
+        self._encode_fn = _encode
+
+    def _postprocess(self, emb: np.ndarray) -> np.ndarray:
+        emb = emb.astype(np.float32)
+        if self.matryoshka_dim:
+            emb = emb[:, : self.matryoshka_dim]
+        if self.binarize:
+            return (emb > 0).astype(np.float32)
+        if self.normalize:
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb
+
+    def encode(self, sentences: List[str], prefix: Optional[str] = None) -> np.ndarray:
+        out = []
+        bs = self.batch_size
+        if prefix:
+            sentences = [f"{prefix}: {s}" for s in sentences]
+        for start in range(0, len(sentences), bs):
+            chunk = sentences[start : start + bs]
+            pad_to = bs  # fixed shape => one compiled program
+            texts = chunk + [""] * (pad_to - len(chunk))
+            enc = self.tokenizer(
+                texts, padding="max_length", truncation=True,
+                max_length=self.seq_len, return_tensors="np",
+            )
+            emb = np.asarray(
+                self._encode_fn(
+                    self.params,
+                    jnp.asarray(enc["input_ids"].astype(np.int32)),
+                    jnp.asarray(enc["attention_mask"].astype(np.int32)),
+                )
+            )[: len(chunk)]
+            out.append(emb)
+        return self._postprocess(np.concatenate(out))
+
+    # MTEB / BEIR-style interface (reference encoder.py:106-160 STransformer)
+    def encode_queries(self, queries: List[str], **kw) -> np.ndarray:
+        return self.encode(queries, prefix=self.query_prefix)
+
+    def encode_corpus(self, corpus, **kw) -> np.ndarray:
+        if corpus and isinstance(corpus[0], dict):
+            texts = [
+                (d.get("title", "") + " " + d["text"]).strip() for d in corpus
+            ]
+        else:
+            texts = list(corpus)
+        return self.encode(texts, prefix=self.document_prefix)

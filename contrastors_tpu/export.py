@@ -1,0 +1,120 @@
+"""Checkpoint export: flax train state -> HuggingFace torch-loadable dir.
+
+TPU counterpart of the reference convert_to_hf.py (reference:
+convert_to_hf.py:8-40 + the inverse remaps models/encoder/bert.py:260-366).
+Strips a BiEncoder checkpoint to its trunk, converts the flax pytree to the
+vanilla HF BERT naming, and writes config.json + model.safetensors that
+`transformers.BertModel.from_pretrained` loads directly (push_to_hub is a
+network call away in a connected environment).
+
+Usage:
+  python -m contrastors_tpu.export --ckpt_path ckpts/run/step_N \
+      --output export_dir [--vision]
+"""
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from contrastors_tpu.models.hf_interop import flax_to_bert_state_dict
+from contrastors_tpu.models.model_config import TrunkConfig
+
+
+def trunk_config_to_hf_bert_dict(cfg: TrunkConfig, orig_vocab_size: Optional[int] = None) -> dict:
+    """Inverse of bert_config_to_trunk_config
+    (reference bert.py:53-72 nomic_config_to_bert_config)."""
+    return {
+        "architectures": ["BertModel"],
+        "model_type": "bert",
+        "vocab_size": orig_vocab_size or cfg.vocab_size,
+        "hidden_size": cfg.n_embd,
+        "num_hidden_layers": cfg.n_layer,
+        "num_attention_heads": cfg.n_head,
+        "intermediate_size": cfg.n_inner,
+        "hidden_act": cfg.activation_function,
+        "hidden_dropout_prob": cfg.resid_pdrop,
+        "attention_probs_dropout_prob": cfg.attn_pdrop,
+        "max_position_embeddings": cfg.n_positions,
+        "type_vocab_size": cfg.type_vocab_size,
+        "initializer_range": cfg.initializer_range,
+        "layer_norm_eps": cfg.layer_norm_epsilon,
+        "pad_token_id": cfg.pad_token_id,
+        "position_embedding_type": "absolute",
+        # nomic extensions consumed by the hub-side trust_remote_code model
+        "rotary_emb_fraction": cfg.rotary_emb_fraction,
+        "rotary_emb_base": cfg.rotary_emb_base,
+        "use_rms_norm": cfg.use_rms_norm,
+        "qkv_proj_bias": cfg.qkv_proj_bias,
+        "mlp_fc1_bias": cfg.mlp_fc1_bias,
+        "mlp_fc2_bias": cfg.mlp_fc2_bias,
+    }
+
+
+def export_bert_trunk(
+    trunk_params: dict,
+    cfg: TrunkConfig,
+    output_dir: str,
+    orig_vocab_size: Optional[int] = None,
+    strip_bert_prefix: bool = True,
+):
+    """trunk_params: the flax params of NomicBertModel ({"params": {...}} or
+    the inner dict). Writes config.json + model.safetensors."""
+    from safetensors.numpy import save_file
+
+    sd = flax_to_bert_state_dict(trunk_params, cfg)
+    if orig_vocab_size and orig_vocab_size < cfg.vocab_size:
+        # un-pad the vocab (reference bert.py:269-277)
+        sd["bert.embeddings.word_embeddings.weight"] = sd[
+            "bert.embeddings.word_embeddings.weight"
+        ][:orig_vocab_size]
+    if strip_bert_prefix:
+        sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(trunk_config_to_hf_bert_dict(cfg, orig_vocab_size), f, indent=2)
+    save_file(
+        {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in sd.items()},
+        os.path.join(output_dir, "model.safetensors"),
+    )
+    return output_dir
+
+
+def load_orbax_state(ckpt_path: str):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.join(os.path.abspath(ckpt_path), "state"))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt_path", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--config_json", help="TrunkConfig json (saved by the trainer)")
+    parser.add_argument("--vision", action="store_true")
+    parser.add_argument("--orig_vocab_size", type=int, default=None)
+    args = parser.parse_args()
+
+    state = load_orbax_state(args.ckpt_path)
+    params = state["params"]
+    if "model" in params:  # TextTextTrainer layout
+        params = params["model"]
+    inner = params["params"] if "params" in params else params
+    tower = inner.get("vision" if args.vision else "trunk", inner)
+    if "trunk" in tower:
+        tower = tower["trunk"]
+
+    if args.config_json:
+        cfg = TrunkConfig.from_json(open(args.config_json).read())
+    else:
+        raise SystemExit("--config_json is required (the trainer writes trunk_config.json)")
+    export_bert_trunk({"params": tower}, cfg, args.output, args.orig_vocab_size)
+    print(f"exported to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -219,13 +219,14 @@ def bert_state_dict_to_flax(
 
     params: dict = {"bert": trunk}
     if head == "pretraining":
-        set_path(params, "transform_dense/kernel", _t(sd.pop("cls.predictions.transform.dense.weight")))
-        set_path(params, "transform_dense/bias", sd.pop("cls.predictions.transform.dense.bias"))
-        set_path(params, "transform_layer_norm/weight", sd.pop("cls.predictions.transform.layer_norm.weight"))
-        set_path(params, "transform_layer_norm/bias", sd.pop("cls.predictions.transform.layer_norm.bias"))
-        params["decoder_bias"] = sd.pop(
-            "cls.predictions.decoder.bias", np.zeros(config.vocab_size, dtype=np.float32)
-        )
+        # head weights may be absent (trunk-only checkpoints) — keep random init
+        if "cls.predictions.transform.dense.weight" in sd:
+            set_path(params, "transform_dense/kernel", _t(sd.pop("cls.predictions.transform.dense.weight")))
+            set_path(params, "transform_dense/bias", sd.pop("cls.predictions.transform.dense.bias"))
+            set_path(params, "transform_layer_norm/weight", sd.pop("cls.predictions.transform.layer_norm.weight"))
+            set_path(params, "transform_layer_norm/bias", sd.pop("cls.predictions.transform.layer_norm.bias"))
+        if "cls.predictions.decoder.bias" in sd:
+            params["decoder_bias"] = sd.pop("cls.predictions.decoder.bias")
         sd.pop("cls.predictions.decoder.weight", None)  # tied
     elif head == "classification":
         if "classifier.weight" in sd:

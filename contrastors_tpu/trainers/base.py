@@ -123,6 +123,9 @@ class BaseTrainer(ABC):
         if self.process_index == 0:
             with open(os.path.join(path, "step.txt"), "w") as f:
                 f.write(str(step))
+            if hasattr(self, "trunk_config"):
+                with open(os.path.join(path, "trunk_config.json"), "w") as f:
+                    f.write(self.trunk_config.to_json())
 
     def load_state(self, path: str):
         import orbax.checkpoint as ocp
@@ -182,6 +185,8 @@ class BaseTrainer(ABC):
                         ds = meta["dataset_name"]
                         if "accuracy" in metrics:
                             metrics[f"accuracy/{ds}"] = metrics.pop("accuracy")
+                    if meta.get("lang"):  # per-language MLM loss (mmlm)
+                        metrics[f"loss/{meta['lang']}"] = metrics.get("loss")
                     self.tracker.log(metrics, self.step)
                     last_log = now
                     examples = 0

@@ -1,0 +1,185 @@
+"""CLIP / LiT image-text trainer (model_type: clip | locked_text).
+
+TPU counterpart of the reference ImageTextTrainer
+(reference: trainers/image_text.py:29-254): DualEncoder with a (usually
+frozen) text tower and a trainable ViT, tar-shard image-text data, symmetric
+CLIP loss computed inside the model forward, ImageNet zero-shot eval, and
+separate vision-tower export.
+"""
+
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from contrastors_tpu.data.image_text import ImageTextDataset, SharedEpoch, get_imagenet
+from contrastors_tpu.models.auto import load_biencoder, _load_hf_config
+from contrastors_tpu.models.dual_encoder import DualEncoder
+from contrastors_tpu.models.auto import trunk_config_from_hf_dict
+from contrastors_tpu.trainers.base import BaseTrainer
+
+
+class ImageTextTrainer(BaseTrainer):
+    def get_tokenizer(self):
+        margs = self.config.text_model_args
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(margs.tokenizer_name or margs.model_name)
+
+    def get_model(self):
+        text_args = self.config.text_model_args
+        vision_args = self.config.vision_model_args
+
+        self.rng, r1, r2 = jax.random.split(self.rng, 3)
+        text_module, text_params, text_cfg = load_biencoder(text_args, dtype=self.dtype, rng=r1)
+        vis_module, vis_params, vis_cfg = load_biencoder(vision_args, dtype=self.dtype, rng=r2)
+
+        module = DualEncoder(
+            text_config=text_cfg,
+            vision_config=vis_cfg,
+            text_pooling=text_args.pooling or "mean",
+            vision_pooling=vision_args.pooling or "map",
+            freeze_text=text_args.freeze,
+            text_hamming=text_args.hamming,
+            logit_scale_init=vision_args.logit_scale,
+            trainable_logit_scale=vision_args.trainable_logit_scale,
+            dtype=self.dtype,
+            remat=vision_args.gradient_checkpointing,
+        )
+        # init the combined tree, then overlay the separately-loaded towers
+        dummy_px = jnp.zeros((1, vis_cfg.num_channels, vis_cfg.img_size, vis_cfg.img_size))
+        dummy_ids = jnp.zeros((1, 8), jnp.int32)
+        params = module.init(
+            self.rng, input_ids=dummy_ids, attention_mask=jnp.ones_like(dummy_ids), pixel_values=dummy_px
+        )
+        params = _overlay_tower(params, "text", text_params)
+        params = _overlay_tower(params, "vision", vis_params)
+        self.dual = module
+        return module, params
+
+    def frozen_mask(self):
+        text_args = self.config.text_model_args
+        mask = jax.tree_util.tree_map(lambda _: True, self.params)
+        if text_args.freeze:
+            import flax
+
+            m = flax.core.unfreeze(mask) if hasattr(mask, "unfreeze") else mask
+            m["params"]["text"] = jax.tree_util.tree_map(
+                lambda _: False, m["params"]["text"]
+            )
+            mask = m
+        return mask
+
+    def get_dataloaders(self):
+        dargs = self.config.data_args
+        text_args = self.config.text_model_args
+        self.shared_epoch = SharedEpoch(0)
+        mean = std = None
+        if self.config.transforms:
+            mean, std = self.config.transforms.mean, self.config.transforms.std
+        ds = ImageTextDataset(
+            dargs.image_text_shards,
+            global_batch_size=dargs.batch_size,
+            tokenizer=self.tokenizer,
+            image_size=(self.config.transforms.image_size if self.config.transforms else 224),
+            seq_len=text_args.seq_len or 77,
+            seed=dargs.seed,
+            resampled=dargs.dataset_resampled,
+            train_num_samples=dargs.train_num_samples,
+            precomputed_text=text_args.precomputed,
+            shared_epoch=self.shared_epoch,
+            mean=mean,
+            std=std,
+        )
+        steps = ds.num_batches or (dargs.train_num_samples or 10**9) // dargs.batch_size
+        return ds, steps
+
+    def make_train_step(self):
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                out = self.dual.apply(
+                    p,
+                    input_ids=batch.get("input_ids"),
+                    attention_mask=batch.get("attention_mask"),
+                    pixel_values=batch["pixel_values"],
+                    text_embeddings=batch.get("text_embeddings"),
+                    deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                return out["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            scale = new_params["params"]["logit_scale"]["logit_scale"]
+            return (
+                new_params,
+                new_opt,
+                {"loss": loss, "grad_norm": optax.global_norm(grads), "logit_scale": jnp.exp(scale)},
+            )
+
+        return train_step
+
+    # -- eval -------------------------------------------------------------
+    def eval_loop(self, step: int):
+        dargs = self.config.data_args
+        if not dargs.imagenet_val_path:
+            return {}
+        from contrastors_tpu.eval.zero_shot import (
+            evaluate_imagenet,
+            zeroshot_classifier_weights,
+        )
+        from contrastors_tpu.data.constants import IMAGENET_CLASSNAMES
+
+        @jax.jit
+        def enc_text(ids, mask):
+            return self.dual.apply(
+                self.params, method=self.dual.encode_text, input_ids=ids, attention_mask=mask
+            )
+
+        @jax.jit
+        def enc_img(px):
+            return self.dual.apply(self.params, method=self.dual.encode_image, pixel_values=px)
+
+        def encode_text(texts):
+            enc = self.tokenizer(
+                texts, padding="max_length", truncation=True,
+                max_length=self.config.text_model_args.seq_len or 77, return_tensors="np",
+            )
+            return np.asarray(enc_text(jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])))
+
+        weights = zeroshot_classifier_weights(encode_text, IMAGENET_CLASSNAMES)
+        batches = get_imagenet(dargs.imagenet_val_path, batch_size=dargs.eval_batch_size)
+        return evaluate_imagenet(lambda px: np.asarray(enc_img(jnp.asarray(px))), weights, batches)
+
+    def save_vision_tower(self, out_dir: str):
+        """Strip to the vision tower for export
+        (reference image_text.py:128-152)."""
+        import orbax.checkpoint as ocp
+        import os
+
+        vision = {"params": self.params["params"]["vision"]}
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(os.path.join(out_dir, "vision_tower")), vision, force=True)
+
+
+def _overlay_tower(params, tower: str, tower_params):
+    import flax
+
+    p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
+    src = tower_params["params"] if "params" in tower_params else tower_params
+
+    def rec(dst, s):
+        for k, v in s.items():
+            if isinstance(v, dict):
+                if k in dst:
+                    rec(dst[k], v)
+            elif k in dst:
+                dst[k] = jnp.asarray(v, dtype=dst[k].dtype)
+
+    rec(p["params"][tower], src)
+    return p

@@ -1,0 +1,103 @@
+"""Eval adapters (Encoder, dense retrieval) and HF export round trip."""
+
+import numpy as np
+import torch
+import jax.numpy as jnp
+
+from transformers import BertConfig, BertModel
+
+from contrastors_tpu.eval.encoder import Encoder
+from contrastors_tpu.eval.retrieval import evaluate_retrieval
+from contrastors_tpu.eval.zero_shot import zeroshot_classifier_weights
+from contrastors_tpu.export import export_bert_trunk
+from contrastors_tpu.models.biencoder import BiEncoder
+from contrastors_tpu.models.hf_interop import (
+    bert_config_to_trunk_config,
+    bert_state_dict_to_flax,
+    torch_state_dict_to_numpy,
+)
+from contrastors_tpu.models.nomic_bert import NomicBertModel
+
+from test_trainer_e2e import make_checkpoint_dir
+from test_data import make_tokenizer
+
+
+def build_encoder(tmp_path, **kw):
+    ckpt = make_checkpoint_dir(tmp_path)
+    from transformers import AutoTokenizer
+
+    from contrastors_tpu.config import ModelArgs
+    from contrastors_tpu.models.auto import load_biencoder
+
+    margs = ModelArgs(model_type="encoder", model_name=ckpt, pooling="mean", attn_impl="sdpa")
+    module, params, cfg = load_biencoder(margs)
+    tok = AutoTokenizer.from_pretrained(ckpt)
+    return Encoder(module, params, tok, seq_len=16, batch_size=4, **kw), cfg
+
+
+def test_encoder_encode_and_prefixes(tmp_path):
+    enc, _ = build_encoder(tmp_path)
+    sents = [f"word{i}" for i in range(6)]  # not a multiple of batch_size
+    q = enc.encode_queries(sents)
+    d = enc.encode_corpus([{"title": "", "text": s} for s in sents])
+    assert q.shape == (6, 64) and d.shape == (6, 64)
+    np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, rtol=1e-5)
+    # prefixes must change the embedding
+    plain = enc.encode(sents)
+    assert np.abs(plain - q).max() > 1e-4
+
+
+def test_encoder_matryoshka_binarize(tmp_path):
+    enc, _ = build_encoder(tmp_path / "a", matryoshka_dim=16)
+    e = enc.encode(["word1", "word2"])
+    assert e.shape == (2, 16)
+    enc2, _ = build_encoder(tmp_path / "b", binarize=True)
+    e2 = enc2.encode(["word1"])
+    assert set(np.unique(e2)) <= {0.0, 1.0}
+
+
+def test_dense_retrieval_sanity(tmp_path):
+    enc, _ = build_encoder(tmp_path)
+    corpus = {f"d{i}": {"title": "", "text": f"word{i} word{i+1}"} for i in range(10)}
+    queries = {f"q{i}": f"word{i} word{i+1}" for i in range(5)}
+    qrels = {f"q{i}": {f"d{i}": 1} for i in range(5)}
+    # identical query/document text => the matching doc must rank first
+    enc.query_prefix = None
+    enc.document_prefix = None
+    res = evaluate_retrieval(enc, corpus, queries, qrels, ks=(1, 10))
+    assert res["ndcg@1"] == 1.0
+    assert res["recall@10"] == 1.0
+
+
+def test_zeroshot_classifier_weights_shape(tmp_path):
+    enc, _ = build_encoder(tmp_path)
+    w = zeroshot_classifier_weights(lambda texts: enc.encode(texts), ["cat", "dog"])
+    assert w.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(w, axis=-1), 1.0, rtol=1e-5)
+
+
+def test_export_round_trip(tmp_path):
+    """flax trunk -> HF dir -> transformers.BertModel: outputs must match
+    (the reference's export-parity bar, tests/test_flash_bert.py:167-205)."""
+    torch.manual_seed(0)
+    hf = BertModel(
+        BertConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=128, max_position_embeddings=64, type_vocab_size=2,
+            hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        )
+    ).eval()
+    cfg = bert_config_to_trunk_config(hf.config)
+    params = bert_state_dict_to_flax(torch_state_dict_to_numpy(hf.state_dict()), cfg)
+
+    out_dir = str(tmp_path / "export")
+    export_bert_trunk(params, cfg, out_dir)
+
+    reloaded = BertModel.from_pretrained(out_dir, add_pooling_layer=False).eval()
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 128, size=(2, 12))
+    mask = np.ones_like(ids)
+    with torch.no_grad():
+        a = hf(torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state
+        b = reloaded(torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state
+    np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)

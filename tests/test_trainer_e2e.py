@@ -33,7 +33,7 @@ def make_checkpoint_dir(tmp_path, vocab_size=128):
     )
     model = BertModel(cfg)
     ckpt = tmp_path / "tiny-bert"
-    ckpt.mkdir()
+    ckpt.mkdir(parents=True)
     cfg.save_pretrained(str(ckpt))
     save_file({k: v.contiguous() for k, v in model.state_dict().items()}, str(ckpt / "model.safetensors"))
     # tokenizer
