@@ -16,10 +16,15 @@ from contrastors_tpu.layers.norms import LayerNorm
 
 
 def round_hidden(in_features: int, hidden_features: Optional[int], multiple_of: int = 256) -> int:
-    """GatedMLP hidden sizing (reference mlp.py:56-59)."""
+    """GatedMLP hidden sizing (reference mlp.py:56-59). Rounding to a
+    multiple of 256 only applies to the derived 8/3 default — an explicit
+    hidden size is honored exactly (checkpoint shapes must match; every
+    reference recipe already uses a multiple of 256, so this is behaviorally
+    identical for the shipped configs)."""
     if hidden_features is None:
         hidden_features = int(8 * in_features / 3)
-    return int((hidden_features + multiple_of - 1) // multiple_of * multiple_of)
+        return int((hidden_features + multiple_of - 1) // multiple_of * multiple_of)
+    return int(hidden_features)
 
 
 class MLP(nn.Module):

@@ -140,6 +140,12 @@ def load_biencoder(
             raise FileNotFoundError(f"pretrained=true but no weights found in {path}")
         if family == "encoder":
             trunk = bert_state_dict_to_flax(sd, cfg)
+            if cfg.num_experts > 0:
+                # dense checkpoint into an MoE config: replicate dense MLPs
+                # into experts (reference modeling_nomic_bert.py:175-262)
+                from contrastors_tpu.models.moe_interop import expand_dense_trunk_to_moe
+
+                trunk = {"params": expand_dense_trunk_to_moe(trunk["params"], cfg)}
         elif family == "decoder":
             from contrastors_tpu.models.hf_interop_decoder import decoder_state_dict_to_flax
 

@@ -1,0 +1,84 @@
+"""Pack raw text into fixed-length token sequences for MLM pretraining.
+
+Counterpart of the reference MLM data prep (reference:
+scripts/text/pretokenize.py + tokenize_arrow.py — pack wiki+books into
+2048-token rows). Documents are tokenized, concatenated with EOS/SEP
+separators, and sliced into contiguous max_length windows (no padding
+waste), then saved as an HF dataset consumable by MLMTrainer.
+
+Usage:
+  python -m contrastors_tpu.scripts.pretokenize \
+      --input data/*.jsonl --text_column text \
+      --tokenizer <dir> --max_length 2048 --output data/packed
+"""
+
+import argparse
+import glob
+import json
+
+import numpy as np
+
+
+def pack_tokens(token_lists, max_length: int, sep_id: int):
+    buf = []
+    for toks in token_lists:
+        buf.extend(toks)
+        buf.append(sep_id)
+        while len(buf) >= max_length:
+            yield buf[:max_length]
+            buf = buf[max_length:]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="glob of jsonl/txt files")
+    parser.add_argument("--text_column", default="text")
+    parser.add_argument("--tokenizer", required=True)
+    parser.add_argument("--max_length", type=int, default=2048)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--val_pct", type=float, default=0.01)
+    args = parser.parse_args()
+
+    from datasets import Dataset, DatasetDict
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.tokenizer)
+    sep_id = tok.sep_token_id or tok.eos_token_id or 0
+
+    def texts():
+        for path in sorted(glob.glob(args.input)):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if path.endswith(".jsonl"):
+                        yield json.loads(line)[args.text_column]
+                    else:
+                        yield line
+
+    rows = []
+    batch = []
+    for text in texts():
+        batch.append(text)
+        if len(batch) == 1000:
+            enc = tok(batch, add_special_tokens=False)["input_ids"]
+            rows.extend(pack_tokens(enc, args.max_length, sep_id))
+            batch = []
+    if batch:
+        enc = tok(batch, add_special_tokens=False)["input_ids"]
+        rows.extend(pack_tokens(enc, args.max_length, sep_id))
+
+    n_val = max(1, int(len(rows) * args.val_pct))
+    dd = DatasetDict(
+        {
+            "train": Dataset.from_dict({"input_ids": rows[n_val:]}),
+            "validation": Dataset.from_dict({"input_ids": rows[:n_val]}),
+        }
+    )
+    dd.save_to_disk(args.output)
+    print(f"packed {len(rows)} sequences of {args.max_length} -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

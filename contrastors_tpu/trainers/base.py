@@ -63,6 +63,20 @@ class BaseTrainer(ABC):
         self.opt_state = self.tx.init(self.params)
         self.step = 0
 
+        # EMA weights (reference: base.py:387-392, config.py:179 — the hook
+        # exists there but is vestigial; here it's functional)
+        margs = config.model_args or config.text_model_args
+        self.ema_params = None
+        if margs is not None and getattr(margs, "ema", False):
+            self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
+            decay = 0.999
+
+            @jax.jit
+            def _ema(e, p):
+                return jax.tree_util.tree_map(lambda a, b: decay * a + (1 - decay) * b, e, p)
+
+            self._ema_update = _ema
+
         self.tracker = Tracker(
             enabled_wandb=ta.wandb,
             project=ta.wandb_project_name,
@@ -112,12 +126,11 @@ class BaseTrainer(ABC):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(out_dir, f"step_{step}"))
+        state = {"params": self.params, "opt_state": self.opt_state, "rng": self.rng}
+        if self.ema_params is not None:
+            state["ema_params"] = self.ema_params
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(
-                os.path.join(path, "state"),
-                {"params": self.params, "opt_state": self.opt_state, "rng": self.rng},
-                force=True,
-            )
+            ckptr.save(os.path.join(path, "state"), state, force=True)
         if hasattr(self.dataloader, "save_state"):
             self.dataloader.save_state(path)
         if self.process_index == 0:
@@ -133,7 +146,11 @@ class BaseTrainer(ABC):
         path = os.path.abspath(path)
         with ocp.StandardCheckpointer() as ckptr:
             target = {"params": self.params, "opt_state": self.opt_state, "rng": self.rng}
+            if self.ema_params is not None:
+                target["ema_params"] = self.ema_params
             restored = ckptr.restore(os.path.join(path, "state"), target)
+        if self.ema_params is not None:
+            self.ema_params = restored["ema_params"]
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.rng = restored["rng"]
@@ -175,6 +192,8 @@ class BaseTrainer(ABC):
                 )
                 self.step += 1
                 examples += next(iter(arrays.values())).shape[0]
+                if self.ema_params is not None:
+                    self.ema_params = self._ema_update(self.ema_params, self.params)
 
                 if self.step % ta.log_lr_every == 0:
                     now = time.time()

@@ -1,0 +1,88 @@
+"""Rotary variants: plain RoPE vs HF, DynamicNTK scaling, llama3 bands."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from contrastors_tpu.layers.rotary import (
+    apply_rotary,
+    llama3_inv_freq,
+    ntk_scaled_base,
+    rotary_cos_sin,
+    rotary_inv_freq,
+)
+
+
+def hf_rotate_half_apply(x, cos, sin):
+    """HF neox-style rotary (transformers rotate_half) on [B, H, S, D]."""
+    x1, x2 = x[..., : x.shape[-1] // 2], x[..., x.shape[-1] // 2 :]
+    rot = torch.cat([-x2, x1], dim=-1)
+    return x * cos + rot * sin
+
+
+def test_apply_rotary_matches_hf_neox_convention():
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 16, 3, 8
+    x = rng.normal(size=(B, S, H, D)).astype(np.float32)
+    cos, sin = rotary_cos_sin(S, D, base=10000.0)
+
+    out = np.asarray(apply_rotary(jnp.asarray(x), cos, sin, interleaved=False))
+
+    # HF layout: [B, H, S, D] with cos/sin duplicated across halves
+    cos_t = torch.tensor(np.concatenate([np.asarray(cos)] * 2, axis=-1))[None, None]
+    sin_t = torch.tensor(np.concatenate([np.asarray(sin)] * 2, axis=-1))[None, None]
+    ref = hf_rotate_half_apply(torch.tensor(x.transpose(0, 2, 1, 3)), cos_t, sin_t)
+    ref = ref.numpy().transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_dynamic_ntk_base_scaling():
+    """Base extension formula (reference embedding.py:809-818): unscaled
+    inside the trained window, scaled beyond it."""
+    base, dim, max_trained, factor = 10000.0, 64, 2048, 2.0
+    assert ntk_scaled_base(base, dim, 1024, max_trained, factor) == base
+    s = ntk_scaled_base(base, dim, 4096, max_trained, factor)
+    expected = base * ((factor * 4096 / max_trained) - (factor - 1)) ** (dim / (dim - 2))
+    assert abs(s - expected) < 1e-6 and s > base
+
+    cos_short, _ = rotary_cos_sin(1024, dim, base, rotary_scaling_factor=factor, max_trained_positions=max_trained)
+    cos_plain, _ = rotary_cos_sin(1024, dim, base)
+    np.testing.assert_allclose(np.asarray(cos_short), np.asarray(cos_plain))
+
+
+def test_llama3_inv_freq_matches_hf():
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    from transformers import LlamaConfig
+
+    rope_scaling = {
+        "rope_type": "llama3",
+        "factor": 8.0,
+        "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0,
+        "original_max_position_embeddings": 8192,
+    }
+    cfg = LlamaConfig(
+        hidden_size=64,
+        num_attention_heads=4,
+        rope_theta=500000.0,
+        rope_scaling=rope_scaling,
+        max_position_embeddings=131072,
+    )
+    hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](cfg, device="cpu")
+    mine = llama3_inv_freq(16, 500000.0, rope_scaling)
+    np.testing.assert_allclose(mine, hf_inv.numpy(), rtol=1e-6)
+
+
+def test_interleaved_rotary_pairs():
+    """GPT-J interleaved convention rotates (even, odd) pairs."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(1, 4, 1, 4)).astype(np.float32)
+    cos, sin = rotary_cos_sin(4, 4)
+    out = np.asarray(apply_rotary(jnp.asarray(x), cos, sin, interleaved=True))
+    c, s = np.asarray(cos), np.asarray(sin)
+    # manual: pairs (x0,x1): x0' = x0*c - x1*s ; x1' = x1*c + x0*s
+    for t in range(4):
+        for p in range(2):
+            x0, x1 = x[0, t, 0, 2 * p], x[0, t, 0, 2 * p + 1]
+            np.testing.assert_allclose(out[0, t, 0, 2 * p], x0 * c[t, p] - x1 * s[t, p], atol=1e-6)
+            np.testing.assert_allclose(out[0, t, 0, 2 * p + 1], x1 * c[t, p] + x0 * s[t, p], atol=1e-6)

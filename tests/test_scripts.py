@@ -1,0 +1,57 @@
+"""Offline data-prep scripts: pretokenize packing, hard-negative mining,
+consistency filtering, index building, tokenizer compare."""
+
+import json
+
+import numpy as np
+
+from contrastors_tpu.scripts.pretokenize import pack_tokens
+from contrastors_tpu.scripts.mine_hard_negatives import mine
+from contrastors_tpu.scripts.consistency_filter import consistency_keep_mask
+from contrastors_tpu.scripts.tokenizer_compare import compare
+
+
+def test_pack_tokens():
+    docs = [[1, 2, 3], [4, 5], [6, 7, 8, 9, 10, 11]]
+    packed = list(pack_tokens(docs, max_length=4, sep_id=0))
+    # stream: 1 2 3 0 4 5 0 6 7 8 9 10 11 0 -> 3 full windows
+    assert packed == [[1, 2, 3, 0], [4, 5, 0, 6], [7, 8, 9, 10]]
+
+
+def _norm(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_mine_hard_negatives_excludes_positive_and_false_negs():
+    rng = np.random.default_rng(0)
+    d = _norm(rng.normal(size=(20, 8)).astype(np.float32))
+    q = d.copy()  # query == its positive document embedding
+    # make doc 1 a near-duplicate of doc 0 (false negative for query 0)
+    d[1] = _norm(d[0] + 0.001 * rng.normal(size=8)).astype(np.float32)
+    q[1] = d[1]
+    negs = mine(q, d, positives=np.arange(20), num_negatives=3, margin=0.95)
+    assert len(negs) == 20
+    assert all(i not in negs[i] for i in range(20))
+    assert 1 not in negs[0], "near-duplicate must be filtered as false negative"
+    assert all(len(n) <= 3 for n in negs)
+
+
+def test_consistency_filter_keeps_aligned_pairs():
+    rng = np.random.default_rng(1)
+    d = _norm(rng.normal(size=(32, 8)).astype(np.float32))
+    q = d.copy()
+    # corrupt 4 pairs: query matches a different document entirely
+    for i in range(4):
+        q[i] = d[(i + 16) % 32]
+    keep = consistency_keep_mask(q, d, top_k=2)
+    assert keep[4:].all(), "clean pairs must be kept"
+    assert not keep[:4].any(), "misaligned pairs must be dropped"
+
+
+def test_tokenizer_compare(tmp_path):
+    from test_data import make_tokenizer
+
+    tok = make_tokenizer(tmp_path)
+    out = compare(tok, tok, ["word1 word2", "word3"])
+    assert out["identical_tokenizations"] == 1.0
+    assert out["vocab_jaccard"] == 1.0
