@@ -25,15 +25,30 @@ def build_bucket_index(bucket_dir: str, pattern_suffix: str = ".jsonl.gz", key_p
     """Writes counts.json and offsets.json.gz next to the shards.
 
     Keys are normalized the way the streaming loader expects (last 3-4 path
-    segments; see StreamingShardDataset._norm)."""
+    segments; see StreamingShardDataset._norm). Uses the C++ data-plane
+    (native/dataplane.cpp) for thread-parallel inflate+index when available.
+    """
     shards = sorted(
         f for f in os.listdir(bucket_dir) if f.endswith(pattern_suffix)
     )
+    fulls = [os.path.join(bucket_dir, s) for s in shards]
+    native_offsets = None
+    try:
+        from contrastors_tpu.native import index_many
+
+        native_offsets = index_many(fulls)
+    except Exception:
+        native_offsets = None
+
     counts = {}
     offsets = {}
-    for shard in shards:
-        full = os.path.join(bucket_dir, shard)
-        off = index_shard(full)
+    for i, shard in enumerate(shards):
+        full = fulls[i]
+        off = None
+        if native_offsets is not None:
+            off = native_offsets[i]
+        if off is None:
+            off = index_shard(full)
         key = key_prefix + full.lstrip("/") if key_prefix else full.lstrip("/")
         # normalize like the loader: keep the trailing segments
         parts = full.replace("s3://", "").split("/")

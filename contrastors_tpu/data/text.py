@@ -283,6 +283,16 @@ class StreamingShardDataset:
         if not hasattr(self, "_streams"):
             self._streams: Dict[str, Any] = {}
         if url not in self._streams:
+            if not url.startswith("s3://"):
+                # local shards: C++ inflate with forward seek
+                # (native/dataplane.cpp); falls back to fsspec below
+                try:
+                    from contrastors_tpu.native import NativeGzipStream
+
+                    self._streams[url] = NativeGzipStream(url.replace("file://", ""))
+                    return self._streams[url]
+                except Exception:
+                    pass
             fs = self._open_fs(url)
             self._streams[url] = fs.open(
                 url, "rb", compression="gzip", cache_type="background", block_size=2**20

@@ -1,0 +1,79 @@
+"""C++ data-plane: parity with the Python gzip path + throughput sanity."""
+
+import gzip
+import json
+import time
+
+import numpy as np
+import pytest
+
+from contrastors_tpu.data.indexing import index_shard
+
+
+def make_shard(tmp_path, rows=2000, name="s.jsonl.gz"):
+    path = tmp_path / name
+    rng = np.random.default_rng(0)
+    with gzip.open(path, "wt") as f:
+        for i in range(rows):
+            f.write(json.dumps({"i": i, "text": "x" * int(rng.integers(10, 200))}) + "\n")
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def native():
+    import contrastors_tpu.native as n
+
+    if n.get_lib() is None:
+        pytest.skip("g++/zlib unavailable")
+    return n
+
+
+def test_native_index_matches_python(tmp_path, native):
+    path = make_shard(tmp_path)
+    py = index_shard(path)
+    nat = native.index_file(path)
+    assert nat == py
+
+
+def test_native_index_many(tmp_path, native):
+    paths = [make_shard(tmp_path, rows=100 + i, name=f"s{i}.jsonl.gz") for i in range(5)]
+    results = native.index_many(paths, n_threads=4)
+    for p, r in zip(paths, results):
+        assert r == index_shard(p)
+
+
+def test_native_stream_reads(tmp_path, native):
+    path = make_shard(tmp_path, rows=500)
+    offsets = index_shard(path)
+    with gzip.open(path, "rb") as f:
+        blob = f.read()
+
+    s = native.NativeGzipStream(path)
+    # sequential rank-batch style reads
+    for start_row in (0, 100, 250):
+        lo = offsets[str(start_row)][0]
+        hi = offsets[str(start_row + 9)][1]
+        s.seek(lo)
+        data = s.read(hi - lo)
+        assert data == blob[lo:hi]
+    # rewind (reopen) works
+    s.seek(0)
+    assert s.read(10) == blob[:10]
+    s.close()
+
+
+def test_streaming_dataset_uses_native(tmp_path, native):
+    from test_data import make_bucket, make_tokenizer
+    from contrastors_tpu.data import StreamingShardDataset
+
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path)
+    ds = StreamingShardDataset(
+        spec, global_batch_size=8, tokenizer=tok, seed=0,
+        process_index=0, process_count=1, state_dir=str(tmp_path / "state"),
+    )
+    batches = list(ds)
+    assert len(batches) == 8
+    from contrastors_tpu.native import NativeGzipStream
+
+    assert any(isinstance(s, NativeGzipStream) for s in ds._streams.values())
