@@ -25,15 +25,26 @@ import optax
 
 
 def main():
+    import argparse
+
+    from contrastors_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
     from contrastors_tpu.losses import clip_loss
     from contrastors_tpu.models.biencoder import BiEncoder, LogitScale
     from contrastors_tpu.models.presets import nomic_bert_2048
     from contrastors_tpu.utils.optim import make_optimizer
 
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--chunk", type=int, default=64)
+    parser.add_argument("--per_chip_batch", type=int, default=512)
+    args = parser.parse_args()
+
     n_chips = len(jax.devices())
-    per_chip_batch = 512  # 16384 global on a 32-chip pod
-    chunk = 64
+    per_chip_batch = args.per_chip_batch  # 16384 global on a 32-chip pod
+    chunk = args.chunk
     q_len, d_len = 32, 256
 
     cfg = nomic_bert_2048(attn_impl="flash")

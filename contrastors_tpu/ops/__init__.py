@@ -23,17 +23,27 @@ def attention_core(
     dropout_rng: Optional[jax.Array] = None,
     block_q: int = 512,
     block_kv: int = 512,
+    flash_min_seq: int = 1024,
 ) -> jnp.ndarray:
     """Single entry point for every attention call in the model zoo.
 
     impl="flash" lowers to the Pallas kernel when the shape qualifies
-    (TPU backend, no attention dropout, head-dim aligned); otherwise falls
-    back to the XLA SDPA path, which is numerically interchangeable.
+    (TPU backend, no attention dropout, head-dim aligned) AND the kv length
+    is long enough to pay for it; otherwise the XLA SDPA path runs, which
+    is numerically interchangeable.
+
+    Measured crossover on v5e (nomic-bert geometry, fwd+bwd, equal token
+    budget): S=256 SDPA 77.6% MFU vs flash 50.3%; S=1024 flash 44.3% vs
+    SDPA 41.2%; S=2048 flash 35.8% vs SDPA 25.9%. Short sequences are
+    matmul-bound (attention is ~2% of FLOPs) and the kernel's layout
+    transposes/launches cost more than the O(S^2) materialization it
+    avoids, hence the >= 1024 gate. impl="flash_always" forces the kernel
+    (kernel tests).
     """
-    if impl == "flash" and dropout_p == 0.0:
+    if impl in ("flash", "flash_always") and dropout_p == 0.0:
         from contrastors_tpu.ops.flash_attention import flash_attention, flash_shape_ok
 
-        if flash_shape_ok(q, k):
+        if flash_shape_ok(q, k) and (impl == "flash_always" or k.shape[1] >= flash_min_seq):
             return flash_attention(
                 q,
                 k,

@@ -41,6 +41,9 @@ def update_config_with_args(config, args):
 
 
 def main(argv=None):
+    from contrastors_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args(argv)
     config = read_config(args.config)
     config = update_config_with_args(config, args)
