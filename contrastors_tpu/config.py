@@ -126,6 +126,11 @@ class MLMDataArgs(DataArgs):
 
 class ContrastiveDataArgs(DataArgs):
     input_shards: str
+    # in-train retrieval eval (NanoBEIR-equivalent, reference
+    # trainers/text_text.py:453-471): a local dir with corpus.jsonl
+    # ({_id, title?, text}), queries.jsonl ({_id, text}) and qrels.tsv
+    # (query-id \t corpus-id \t score)
+    eval_retrieval: Optional[str] = None
     download: bool = False
     process_one_shard: bool = False
     streaming: bool = True

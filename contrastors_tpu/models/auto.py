@@ -86,6 +86,12 @@ def load_biencoder(
 ) -> Tuple[BiEncoder, Any, TrunkConfig]:
     """Returns (module, params, trunk_config)."""
     path = model_args.checkpoint or model_args.model_name
+    # timm names resolve to built-in presets (reference timm_vit.py:96-168);
+    # a local dir of the same name may hold the weights
+    from contrastors_tpu.models.hf_interop_timm import TIMM_PRESETS, normalize_timm_name
+
+    if path is not None and normalize_timm_name(path) in TIMM_PRESETS:
+        return _load_timm_biencoder(model_args, path, dtype, rng, trunk_overrides)
     if path is None or not os.path.isdir(path):
         raise FileNotFoundError(
             f"model path {path!r} not found locally. This framework is "
@@ -186,3 +192,40 @@ def _merge_trunk(init_params: Any, trunk_params: Dict) -> Any:
 
     overlay(target, trunk_params)
     return init
+
+
+def _load_timm_biencoder(model_args, path, dtype, rng, trunk_overrides):
+    from contrastors_tpu.models.hf_interop_timm import (
+        timm_name_to_trunk_config,
+        timm_state_dict_to_flax,
+    )
+
+    overrides = dict(trunk_overrides or {})
+    overrides.setdefault("attn_impl", model_args.attn_impl)
+    if model_args.patch_dropout:
+        overrides["patch_dropout"] = model_args.patch_dropout
+    cfg = timm_name_to_trunk_config(path, **overrides)
+    module = BiEncoder(
+        config=cfg,
+        trunk_type="vision",
+        pooling=model_args.pooling or "map",
+        projection_dim=model_args.projection_dim,
+        freeze=model_args.freeze,
+        dtype=dtype,
+        remat=model_args.gradient_checkpointing,
+    )
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    dummy = {"pixel_values": jnp.zeros((1, cfg.num_channels, cfg.img_size, cfg.img_size))}
+    params = module.init(rng, **dummy)
+    if model_args.pretrained:
+        if not os.path.isdir(path):
+            raise FileNotFoundError(
+                f"pretrained timm weights expected in local dir {path!r} "
+                "(model.safetensors / pytorch_model.bin with timm naming)"
+            )
+        sd = _load_state_dict(path)
+        if sd is None:
+            raise FileNotFoundError(f"no weights found in {path}")
+        trunk = timm_state_dict_to_flax(sd, cfg)
+        params = _merge_trunk(params, trunk["params"])
+    return module, params, cfg

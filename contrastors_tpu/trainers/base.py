@@ -121,6 +121,67 @@ class BaseTrainer(ABC):
     def eval_loop(self, step: int):  # optional
         return {}
 
+    def make_standard_train_step(self, loss_fn, post_update=None):
+        """Build a step from loss_fn(params, batch, rng) -> (loss, metrics),
+        with gradient accumulation when
+        train_args.gradient_accumulation_steps > 1 (reference
+        base.py:375-385: step-modulo accumulation; here grads accumulate on
+        device and the optimizer applies the mean every N micro-batches)."""
+        import functools
+
+        import optax
+
+        ga = self.config.train_args.gradient_accumulation_steps or 1
+
+        @jax.jit
+        def grad_step(params, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng
+            )
+            return loss, metrics, grads
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def apply_step(params, opt_state, grads):
+            if ga > 1:
+                grads = jax.tree_util.tree_map(lambda g: g / ga, grads)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            if post_update is not None:
+                new_params = post_update(new_params)
+            return new_params, new_opt, optax.global_norm(grads)
+
+        if ga == 1:
+
+            def step(params, opt_state, batch, rng):
+                loss, metrics, grads = grad_step(params, batch, rng)
+                params, opt_state, gnorm = apply_step(params, opt_state, grads)
+                metrics = dict(metrics)
+                metrics["loss"] = loss
+                metrics["grad_norm"] = gnorm
+                return params, opt_state, metrics
+
+            return step
+
+        state = {"accum": None, "micro": 0}
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def add(accum, grads):
+            return jax.tree_util.tree_map(jnp.add, accum, grads)
+
+        def step(params, opt_state, batch, rng):
+            loss, metrics, grads = grad_step(params, batch, rng)
+            state["accum"] = grads if state["accum"] is None else add(state["accum"], grads)
+            state["micro"] += 1
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            if state["micro"] % ga == 0:
+                params, opt_state, gnorm = apply_step(params, opt_state, state["accum"])
+                state["accum"] = None
+                metrics["grad_norm"] = gnorm
+            return params, opt_state, metrics
+
+        return step
+
     # -- checkpointing ---------------------------------------------------------
     def save_state(self, out_dir: str, step: int):
         import orbax.checkpoint as ocp

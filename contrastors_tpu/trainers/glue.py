@@ -166,28 +166,19 @@ class GlueTrainer(BaseTrainer):
         return _Loader(), steps
 
     def make_train_step(self):
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng):
-            def loss_fn(p):
-                out = self.model.apply(
-                    p,
-                    batch["input_ids"],
-                    attention_mask=batch["attention_mask"],
-                    token_type_ids=batch["token_type_ids"],
-                    labels=batch["labels"],
-                    deterministic=False,
-                    rngs={"dropout": rng},
-                )
-                return out["loss"]
+        def loss_fn(params, batch, rng):
+            out = self.model.apply(
+                params,
+                batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                token_type_ids=batch["token_type_ids"],
+                labels=batch["labels"],
+                deterministic=False,
+                rngs={"dropout": rng},
+            )
+            return out["loss"], {}
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, new_opt = self.tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_opt, {
-                "loss": loss,
-                "grad_norm": optax.global_norm(grads),
-            }
-
-        return train_step
+        return self.make_standard_train_step(loss_fn)
 
     def eval_loop(self, step: int):
         if self._val is None:

@@ -138,14 +138,7 @@ class MLMTrainer(BaseTrainer):
             )
             return out["loss"], {}
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng):
-            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
-            updates, new_opt = self.tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt, {"loss": loss, "grad_norm": optax.global_norm(grads)}
-
-        return train_step
+        return self.make_standard_train_step(loss_fn)
 
     def eval_loop(self, step: int):
         if self._val is None:

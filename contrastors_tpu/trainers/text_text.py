@@ -105,6 +105,46 @@ class TextTextTrainer(BaseTrainer):
             rngs=rngs,
         )
 
+    def eval_loop(self, step: int):
+        """NanoBEIR-style in-train retrieval eval
+        (reference trainers/text_text.py:453-471, via a SentenceTransformer
+        adapter there; here the Encoder adapter + dense retrieval)."""
+        path = getattr(self.config.data_args, "eval_retrieval", None)
+        if not path:
+            return {}
+        import json as _json
+        import os as _os
+
+        from contrastors_tpu.eval.encoder import Encoder
+        from contrastors_tpu.eval.retrieval import evaluate_retrieval
+
+        corpus, queries, qrels = {}, {}, {}
+        with open(_os.path.join(path, "corpus.jsonl")) as f:
+            for line in f:
+                r = _json.loads(line)
+                corpus[str(r["_id"])] = {"title": r.get("title", ""), "text": r["text"]}
+        with open(_os.path.join(path, "queries.jsonl")) as f:
+            for line in f:
+                r = _json.loads(line)
+                queries[str(r["_id"])] = r["text"]
+        with open(_os.path.join(path, "qrels.tsv")) as f:
+            for line in f:
+                qid, cid, score = line.strip().split("\t")
+                qrels.setdefault(qid, {})[cid] = int(score)
+
+        margs = self.config.model_args
+        enc = Encoder(
+            self.biencoder,
+            self.params["model"],
+            self.tokenizer,
+            seq_len=self.config.data_args.document_max_length or 256,
+            batch_size=64,
+            query_prefix=margs.query_prefix.rstrip(": ") if margs.add_prefix else None,
+            document_prefix=margs.document_prefix.rstrip(": ") if margs.add_prefix else None,
+        )
+        res = evaluate_retrieval(enc, corpus, queries, qrels, ks=(10,))
+        return {f"retrieval/{k}": v for k, v in res.items()}
+
     def make_train_step(self):
         ta = self.config.train_args
         margs = self.config.model_args
@@ -195,14 +235,4 @@ class TextTextTrainer(BaseTrainer):
                     metrics["router_aux"] = aux
             return loss, metrics
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng):
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rng)
-            updates, new_opt = self.tx.update(grads, opt_state, params)
-            new_params = clamp_scale(optax.apply_updates(params, updates))
-            metrics = dict(metrics)
-            metrics["loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return new_params, new_opt, metrics
-
-        return train_step
+        return self.make_standard_train_step(loss_fn, post_update=clamp_scale)

@@ -187,3 +187,40 @@ def test_distill_trainer(tmp_path):
     metrics = read_metrics(out)
     assert all(np.isfinite(m["loss"]) for m in metrics)
     assert any("loss_teacher_query" in m for m in metrics)
+
+
+def test_gradient_accumulation(tmp_path):
+    """ga=2: params must be unchanged after the first micro-batch and
+    updated after the second; training stays finite."""
+    import jax
+
+    ckpt = make_checkpoint_dir(tmp_path)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(ckpt)
+    data = make_tokenized_dataset(tmp_path, tok, n=64)
+    out = str(tmp_path / "run_ga")
+    cfg = Config(
+        train_args=_train_args(out, gradient_accumulation_steps=2, num_train_steps=4, warmup_steps=0),
+        data_args=dict(
+            tokenized_dataset=data, mlm_prob=0.3, val_mlm_prob=0.15,
+            batch_size=16, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(model_type="mlm", model_name=ckpt, pretrained=True, attn_impl="sdpa"),
+    )
+    trainer = TRAINER_REGISTRY["mlm"](cfg, "fp32")
+    step = trainer.make_train_step()
+    leaf0 = np.asarray(jax.tree_util.tree_leaves(trainer.params)[0]).copy()
+    it = iter(trainer.dataloader)
+    import jax.numpy as jnp
+
+    b = {k: jnp.asarray(v) for k, v in next(it).items()}
+    p1, o1, m1 = step(trainer.params, trainer.opt_state, b, jax.random.PRNGKey(0))
+    leaf1 = np.asarray(jax.tree_util.tree_leaves(p1)[0])
+    np.testing.assert_array_equal(leaf0, leaf1)  # no update yet
+    assert "grad_norm" not in m1
+    b2 = {k: jnp.asarray(v) for k, v in next(it).items()}
+    p2, o2, m2 = step(p1, o1, b2, jax.random.PRNGKey(1))
+    leaf2 = np.asarray(jax.tree_util.tree_leaves(p2)[0])
+    assert "grad_norm" in m2
+    assert np.abs(leaf2 - leaf0).max() > 0  # updated after 2 micro-steps

@@ -168,3 +168,30 @@ def test_checkpoint_resume(tmp_path):
 
     l1 = jax.tree_util.tree_leaves(t2.params)[0]
     assert np.isfinite(np.asarray(l1)).all()
+
+
+def test_in_train_retrieval_eval(tmp_path):
+    """NanoBEIR-style eval hook fires during training and logs ndcg/recall."""
+    ckpt = make_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=64)
+    # build a tiny eval set from the same vocabulary
+    ev = tmp_path / "nano"
+    ev.mkdir()
+    with open(ev / "corpus.jsonl", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"_id": f"d{i}", "text": f"word{i} word{i+1}"}) + "\n")
+    with open(ev / "queries.jsonl", "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"_id": f"q{i}", "text": f"word{i} word{i+1}"}) + "\n")
+    with open(ev / "qrels.tsv", "w") as f:
+        for i in range(5):
+            f.write(f"q{i}\td{i}\t1\n")
+
+    out = str(tmp_path / "run_nano")
+    cfg = base_config(
+        ckpt, data, out, num_epochs=1, eval_strategy="steps", eval_steps=2
+    )
+    cfg.data_args.eval_retrieval = str(ev)
+    run_trainer(cfg)
+    metrics = read_metrics(out)
+    assert any("retrieval/ndcg@10" in m for m in metrics)

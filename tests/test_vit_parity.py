@@ -104,3 +104,59 @@ def test_dinov2_parity():
     out = ViTModel(config=cfg).apply(params, jnp.asarray(px))["last_hidden_state"]
     err = np.abs(np.asarray(out) - ref).max()
     assert err < 5e-5, f"dinov2 err {err}"
+
+
+def test_timm_eva02_state_dict_load_and_forward():
+    """EVA02 geometry: 2-D rope, swiglu with post-activation LN, no final LN.
+    Built from a synthetic timm-style state dict (timm isn't installed
+    offline); exercises the full remap + forward path."""
+    import jax
+    from contrastors_tpu.models.hf_interop_timm import (
+        timm_name_to_trunk_config,
+        timm_state_dict_to_flax,
+    )
+
+    cfg = timm_name_to_trunk_config(
+        "timm/vit_eva02_base_patch16_224.mim_in22k",
+        n_embd=64, n_layer=2, n_head=4, n_inner=128, img_size=32, patch_size=8,
+        ref_feat_shape=(4, 4), attn_impl="sdpa",
+    )
+    rng = np.random.default_rng(0)
+    D, F, P = 64, 128, 8
+    sd = {
+        "patch_embed.proj.weight": rng.normal(size=(D, 3, P, P)).astype(np.float32) * 0.02,
+        "patch_embed.proj.bias": np.zeros(D, np.float32),
+        "cls_token": rng.normal(size=(1, 1, D)).astype(np.float32) * 0.02,
+        "pos_embed": rng.normal(size=(1, 17, D)).astype(np.float32) * 0.02,
+    }
+    for i in range(2):
+        sd[f"blocks.{i}.attn.q_proj.weight"] = rng.normal(size=(D, D)).astype(np.float32) * 0.02
+        sd[f"blocks.{i}.attn.k_proj.weight"] = rng.normal(size=(D, D)).astype(np.float32) * 0.02
+        sd[f"blocks.{i}.attn.v_proj.weight"] = rng.normal(size=(D, D)).astype(np.float32) * 0.02
+        sd[f"blocks.{i}.attn.q_bias"] = np.zeros(D, np.float32)
+        sd[f"blocks.{i}.attn.v_bias"] = np.zeros(D, np.float32)
+        sd[f"blocks.{i}.attn.proj.weight"] = rng.normal(size=(D, D)).astype(np.float32) * 0.02
+        sd[f"blocks.{i}.attn.proj.bias"] = np.zeros(D, np.float32)
+        for n in ("norm1", "norm2"):
+            sd[f"blocks.{i}.{n}.weight"] = np.ones(D, np.float32)
+            sd[f"blocks.{i}.{n}.bias"] = np.zeros(D, np.float32)
+        sd[f"blocks.{i}.mlp.fc1_x.weight"] = rng.normal(size=(F, D)).astype(np.float32) * 0.02
+        sd[f"blocks.{i}.mlp.fc1_x.bias"] = np.zeros(F, np.float32)
+        sd[f"blocks.{i}.mlp.fc1_g.weight"] = rng.normal(size=(F, D)).astype(np.float32) * 0.02
+        sd[f"blocks.{i}.mlp.fc1_g.bias"] = np.zeros(F, np.float32)
+        sd[f"blocks.{i}.mlp.fc2.weight"] = rng.normal(size=(D, F)).astype(np.float32) * 0.02
+        sd[f"blocks.{i}.mlp.fc2.bias"] = np.zeros(D, np.float32)
+        sd[f"blocks.{i}.mlp.norm.weight"] = np.ones(F, np.float32)
+        sd[f"blocks.{i}.mlp.norm.bias"] = np.zeros(F, np.float32)
+
+    params = timm_state_dict_to_flax(sd, cfg)
+    model = ViTModel(config=cfg)
+    ref_init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))["params"]
+    flat_a = {jax.tree_util.keystr(p): np.asarray(a).shape for p, a in jax.tree_util.tree_leaves_with_path(params["params"])}
+    flat_b = {jax.tree_util.keystr(p): np.asarray(a).shape for p, a in jax.tree_util.tree_leaves_with_path(ref_init)}
+    assert flat_a == flat_b, set(flat_a) ^ set(flat_b)
+
+    px = jnp.asarray(rng.normal(size=(2, 3, 32, 32)).astype(np.float32))
+    out = model.apply(params, px)["last_hidden_state"]
+    assert out.shape == (2, 17, 64)
+    assert np.isfinite(np.asarray(out)).all()
