@@ -101,3 +101,44 @@ def test_export_round_trip(tmp_path):
         a = hf(torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state
         b = reloaded(torch.tensor(ids), attention_mask=torch.tensor(mask)).last_hidden_state
     np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)
+
+
+def test_long_context_encoder_ntk(tmp_path):
+    """build_long_context_encoder enables DynamicNTK when seq_len exceeds
+    the trained window; embeddings differ from the unscaled rotary and both
+    are finite (reference: DynamicNTK inference-only, embedding.py:798-866)."""
+    import json
+    import torch
+    from transformers import BertConfig, BertModel
+    from safetensors.torch import save_file
+
+    torch.manual_seed(0)
+    cfg = BertConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    d = cfg.to_dict()
+    d.update(rotary_emb_fraction=1.0, rotary_emb_base=1000, max_trained_positions=32)
+    ckpt = tmp_path / "rot-bert"
+    ckpt.mkdir()
+    with open(ckpt / "config.json", "w") as f:
+        json.dump(d, f)
+    model = BertModel(cfg)
+    save_file({k: v.contiguous() for k, v in model.state_dict().items()}, str(ckpt / "model.safetensors"))
+    with open(ckpt / "vocab.txt", "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"word{i}" for i in range(100)]))
+    from transformers import BertTokenizerFast
+
+    BertTokenizerFast(vocab_file=str(ckpt / "vocab.txt")).save_pretrained(str(ckpt))
+
+    from contrastors_tpu.eval.eval_long_context import build_long_context_encoder
+
+    long_text = " ".join(f"word{i % 90}" for i in range(100))
+    enc_ntk = build_long_context_encoder(str(ckpt), seq_len=64, rotary_scaling_factor=2.0, batch_size=2, dtype=jnp.float32)
+    assert enc_ntk.module.config.rotary_scaling_factor == 2.0
+    e1 = enc_ntk.encode([long_text])
+    enc_plain = build_long_context_encoder(str(ckpt), seq_len=16, batch_size=2, dtype=jnp.float32)
+    assert enc_plain.module.config.rotary_scaling_factor is None
+    e2 = enc_plain.encode([long_text])
+    assert np.isfinite(e1).all() and np.isfinite(e2).all()
