@@ -21,8 +21,8 @@ def attention_core(
     softmax_scale: Optional[float] = None,
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    block_q: int = 512,
-    block_kv: int = 512,
+    block_q: int = 256,
+    block_kv: int = 2048,
     flash_min_seq: int = 1024,
 ) -> jnp.ndarray:
     """Single entry point for every attention call in the model zoo.
