@@ -112,9 +112,49 @@ def main():
         cfg = TrunkConfig.from_json(open(args.config_json).read())
     else:
         raise SystemExit("--config_json is required (the trainer writes trunk_config.json)")
-    export_bert_trunk({"params": tower}, cfg, args.output, args.orig_vocab_size)
+    if args.vision:
+        export_vit_trunk({"params": tower}, cfg, args.output)
+    else:
+        export_bert_trunk({"params": tower}, cfg, args.output, args.orig_vocab_size)
     print(f"exported to {args.output}")
 
 
 if __name__ == "__main__":
     main()
+
+
+def trunk_config_to_hf_vit_dict(cfg: TrunkConfig) -> dict:
+    return {
+        "architectures": ["ViTModel"],
+        "model_type": "vit",
+        "hidden_size": cfg.n_embd,
+        "num_hidden_layers": cfg.n_layer,
+        "num_attention_heads": cfg.n_head,
+        "intermediate_size": cfg.n_inner,
+        "hidden_act": cfg.activation_function,
+        "image_size": cfg.img_size,
+        "patch_size": cfg.patch_size,
+        "num_channels": cfg.num_channels,
+        "layer_norm_eps": cfg.layer_norm_epsilon,
+        "hidden_dropout_prob": cfg.resid_pdrop,
+        "attention_probs_dropout_prob": cfg.attn_pdrop,
+        "qkv_bias": cfg.qkv_proj_bias,
+    }
+
+
+def export_vit_trunk(trunk_params: dict, cfg: TrunkConfig, output_dir: str):
+    """flax ViT trunk -> HF ViTModel dir (reference convert_to_hf.py:24-35
+    vision branch)."""
+    from safetensors.numpy import save_file
+
+    from contrastors_tpu.models.hf_interop_vit import flax_to_hf_vit_state_dict
+
+    sd = flax_to_hf_vit_state_dict(trunk_params, cfg)
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(trunk_config_to_hf_vit_dict(cfg), f, indent=2)
+    save_file(
+        {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in sd.items()},
+        os.path.join(output_dir, "model.safetensors"),
+    )
+    return output_dir

@@ -51,16 +51,22 @@ class MultiHeadAttention(nn.Module):
         if cfg.rotary_emb_dim > 0:
             # DynamicNTK scaling only kicks in past the trained context and
             # is inference-only in the reference too (modeling_biencoder.py:226-227).
+            table_len = H if cfg.rotary_head_dim else S
             cos, sin = rotary_cos_sin(
-                S,
+                table_len,
                 cfg.rotary_emb_dim,
                 base=cfg.rotary_emb_base,
                 rope_scaling=cfg.rope_scaling,
                 rotary_scaling_factor=cfg.rotary_scaling_factor,
                 max_trained_positions=cfg.max_trained_positions,
             )
-            q = apply_rotary(q, cos, sin, cfg.rotary_emb_interleaved, position_ids)
-            k = apply_rotary(k, cos, sin, cfg.rotary_emb_interleaved, position_ids)
+            if cfg.rotary_head_dim:
+                # open_lm quirk: "position" = head index (attention.py:126-131)
+                q = apply_rotary(q.swapaxes(1, 2), cos, sin, cfg.rotary_emb_interleaved).swapaxes(1, 2)
+                k = apply_rotary(k.swapaxes(1, 2), cos, sin, cfg.rotary_emb_interleaved).swapaxes(1, 2)
+            else:
+                q = apply_rotary(q, cos, sin, cfg.rotary_emb_interleaved, position_ids)
+                k = apply_rotary(k, cos, sin, cfg.rotary_emb_interleaved, position_ids)
         elif rope is not None:
             # 2-D ViT rope skips cls/register prefix tokens
             # (reference attention.py:136-148).

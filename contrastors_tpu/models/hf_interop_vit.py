@@ -192,3 +192,51 @@ def vit_state_dict_to_flax(sd: Dict[str, Array], config: TrunkConfig, model_type
             raise KeyError(f"no MLP weights found for layer {i}")
 
     return {"params": trunk}
+
+
+def flax_to_hf_vit_state_dict(params: dict, config: TrunkConfig) -> Dict[str, Array]:
+    """Inverse remap for HF ViT export (reference hf_vit.py:170-233):
+    flax ViTModel trunk -> transformers ViTModel naming (conv patch kernel
+    reconstructed from the linear patchify layout)."""
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, Array] = {}
+    emb = p["embeddings"]
+    pk = np.asarray(emb["proj"]["kernel"])  # [C*p*p, D]
+    D = pk.shape[1]
+    ps = config.patch_size
+    sd["embeddings.patch_embeddings.projection.weight"] = (
+        pk.T.reshape(D, config.num_channels, ps, ps)
+    )
+    if "bias" in emb["proj"]:
+        sd["embeddings.patch_embeddings.projection.bias"] = np.asarray(emb["proj"]["bias"])
+    if "cls_token" in emb:
+        sd["embeddings.cls_token"] = np.asarray(emb["cls_token"])
+    if "pos_embed" in emb:
+        sd["embeddings.position_embeddings"] = np.asarray(emb["pos_embed"])
+
+    for i in range(config.n_layer):
+        lp = p[f"layers_{i}"]
+        pre = f"encoder.layer.{i}"
+        wqkv = np.asarray(lp["attn"]["Wqkv"]["kernel"]).T  # [3D, D]
+        d3 = wqkv.shape[0] // 3
+        for j, n in enumerate(("query", "key", "value")):
+            sd[f"{pre}.attention.attention.{n}.weight"] = wqkv[j * d3 : (j + 1) * d3]
+        if "bias" in lp["attn"]["Wqkv"]:
+            b = np.asarray(lp["attn"]["Wqkv"]["bias"])
+            for j, n in enumerate(("query", "key", "value")):
+                sd[f"{pre}.attention.attention.{n}.bias"] = b[j * d3 : (j + 1) * d3]
+        sd[f"{pre}.attention.output.dense.weight"] = np.asarray(lp["attn"]["out_proj"]["kernel"]).T
+        if "bias" in lp["attn"]["out_proj"]:
+            sd[f"{pre}.attention.output.dense.bias"] = np.asarray(lp["attn"]["out_proj"]["bias"])
+        sd[f"{pre}.layernorm_before.weight"] = np.asarray(lp["norm1"]["weight"])
+        sd[f"{pre}.layernorm_before.bias"] = np.asarray(lp["norm1"]["bias"])
+        sd[f"{pre}.layernorm_after.weight"] = np.asarray(lp["norm2"]["weight"])
+        sd[f"{pre}.layernorm_after.bias"] = np.asarray(lp["norm2"]["bias"])
+        sd[f"{pre}.intermediate.dense.weight"] = np.asarray(lp["mlp"]["fc1"]["kernel"]).T
+        sd[f"{pre}.intermediate.dense.bias"] = np.asarray(lp["mlp"]["fc1"]["bias"])
+        sd[f"{pre}.output.dense.weight"] = np.asarray(lp["mlp"]["fc2"]["kernel"]).T
+        sd[f"{pre}.output.dense.bias"] = np.asarray(lp["mlp"]["fc2"]["bias"])
+    if "ln_f" in p:
+        sd["layernorm.weight"] = np.asarray(p["ln_f"]["weight"])
+        sd["layernorm.bias"] = np.asarray(p["ln_f"]["bias"])
+    return sd

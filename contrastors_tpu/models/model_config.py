@@ -71,6 +71,10 @@ class TrunkConfig:
     rotary_scaling_factor: Optional[float] = None  # DynamicNTK (inference only)
     max_trained_positions: int = 2048
     rope_scaling: Optional[Dict[str, Any]] = None  # llama3 frequency-band smoothing
+    # open_lm quirk: rotary applied over the HEAD index instead of the
+    # sequence position (upstream xformers accident the reference preserves,
+    # reference layers/attention.py:78-80,126-131)
+    rotary_head_dim: bool = False
 
     # biases
     qkv_proj_bias: bool = True

@@ -128,3 +128,64 @@ def test_decoder_seq_classification_runs():
     out = model.apply(params, ids, mask, labels=jnp.asarray([0, 2]))
     assert out["logits"].shape == (2, 3)
     assert np.isfinite(float(out["loss"]))
+
+
+def test_clip_text_parity():
+    from transformers import CLIPTextConfig, CLIPTextModel
+    from contrastors_tpu.models.hf_interop_decoder import (
+        clip_text_config_to_trunk_config,
+        clip_text_state_dict_to_flax,
+    )
+
+    torch.manual_seed(0)
+    hf_cfg = CLIPTextConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, max_position_embeddings=32, hidden_act="quick_gelu",
+        attention_dropout=0.0,
+    )
+    hf = CLIPTextModel(hf_cfg).eval()
+    cfg = clip_text_config_to_trunk_config(hf_cfg.to_dict())
+    params = clip_text_state_dict_to_flax(torch_state_dict_to_numpy(hf.state_dict()), cfg)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 128, size=(2, 16))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).last_hidden_state.numpy()
+    out = DecoderModel(config=cfg).apply(params, jnp.asarray(ids))["last_hidden_state"]
+    err = np.abs(np.asarray(out) - ref).max()
+    assert err < 5e-5, f"clip text err {err}"
+
+
+def test_open_lm_remap_and_rotary_head_dim():
+    """open_lm layout loads and the rotary-over-heads quirk produces a
+    different (finite) result than standard rotary."""
+    from contrastors_tpu.models.hf_interop_decoder import (
+        open_lm_config_to_trunk_config,
+        open_lm_state_dict_to_flax,
+    )
+
+    hf = dict(model_type="openlm", vocab_size=128, hidden_dim=64, n_layers=2,
+              n_heads=4, weight_tying=False, rotary_old=True)
+    cfg = open_lm_config_to_trunk_config(hf)
+    assert cfg.rotary_head_dim and cfg.activation_function == "swiglu"
+    F = cfg.n_inner
+    rng = np.random.default_rng(0)
+    sd = {"tok_embeddings.weight": rng.normal(size=(128, 64)).astype(np.float32) * 0.02,
+          "norm.weight": np.ones(64, np.float32), "norm.bias": np.zeros(64, np.float32),
+          "output.weight": rng.normal(size=(128, 64)).astype(np.float32) * 0.02}
+    for i in range(2):
+        sd[f"layers.{i}.attention.in_proj.weight"] = rng.normal(size=(192, 64)).astype(np.float32) * 0.02
+        sd[f"layers.{i}.attention.out_proj.weight"] = rng.normal(size=(64, 64)).astype(np.float32) * 0.02
+        sd[f"layers.{i}.attention_norm.weight"] = np.ones(64, np.float32)
+        sd[f"layers.{i}.attention_norm.bias"] = np.zeros(64, np.float32)
+        sd[f"layers.{i}.ffn_norm.weight"] = np.ones(64, np.float32)
+        sd[f"layers.{i}.ffn_norm.bias"] = np.zeros(64, np.float32)
+        sd[f"layers.{i}.feed_forward.w12.weight"] = rng.normal(size=(2 * F, 64)).astype(np.float32) * 0.02
+        sd[f"layers.{i}.feed_forward.w3.weight"] = rng.normal(size=(64, F)).astype(np.float32) * 0.02
+    params = open_lm_state_dict_to_flax(sd, cfg)
+
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 128, size=(2, 12)))
+    out_quirk = DecoderModel(config=cfg).apply(params, ids)["last_hidden_state"]
+    out_std = DecoderModel(config=cfg.replace(rotary_head_dim=False)).apply(params, ids)["last_hidden_state"]
+    assert np.isfinite(np.asarray(out_quirk)).all()
+    assert np.abs(np.asarray(out_quirk) - np.asarray(out_std)).max() > 1e-4

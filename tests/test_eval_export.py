@@ -142,3 +142,34 @@ def test_long_context_encoder_ntk(tmp_path):
     assert enc_plain.module.config.rotary_scaling_factor is None
     e2 = enc_plain.encode([long_text])
     assert np.isfinite(e1).all() and np.isfinite(e2).all()
+
+
+def test_vit_export_round_trip(tmp_path):
+    """flax ViT -> HF dir -> transformers.ViTModel: outputs must match."""
+    from transformers import ViTConfig, ViTModel as HFViTModel
+    from contrastors_tpu.export import export_vit_trunk
+    from contrastors_tpu.models.hf_interop_vit import (
+        vit_config_to_trunk_config,
+        vit_state_dict_to_flax,
+    )
+
+    torch.manual_seed(0)
+    hf_cfg = ViTConfig(
+        hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, image_size=32, patch_size=8,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    hf = HFViTModel(hf_cfg, add_pooling_layer=False).eval()
+    cfg = vit_config_to_trunk_config(hf_cfg.to_dict())
+    params = vit_state_dict_to_flax(torch_state_dict_to_numpy(hf.state_dict()), cfg, "vit")
+
+    out_dir = str(tmp_path / "vit_export")
+    export_vit_trunk(params, cfg, out_dir)
+    reloaded = HFViTModel.from_pretrained(out_dir, add_pooling_layer=False).eval()
+
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        a = hf(torch.tensor(px)).last_hidden_state
+        b = reloaded(torch.tensor(px)).last_hidden_state
+    np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)
