@@ -147,6 +147,8 @@ class ImageTextDataArgs(DataArgs):
     eval_batch_size: int
     imagenet_val_path: Optional[str] = None
     eval_flickr: bool = False
+    # local tar shards of paired image/caption samples for retrieval eval
+    flickr_shards: Optional[str] = None
     train_num_samples: Optional[int] = None
     dataset_resampled: bool = False
     mlm_prob: Optional[float] = None

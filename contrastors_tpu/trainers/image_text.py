@@ -127,8 +127,11 @@ class ImageTextTrainer(BaseTrainer):
     # -- eval -------------------------------------------------------------
     def eval_loop(self, step: int):
         dargs = self.config.data_args
+        metrics = {}
+        if dargs.eval_flickr and dargs.flickr_shards:
+            metrics.update(self._flickr_eval())
         if not dargs.imagenet_val_path:
-            return {}
+            return metrics
         from contrastors_tpu.eval.zero_shot import (
             evaluate_imagenet,
             zeroshot_classifier_weights,
@@ -154,7 +157,45 @@ class ImageTextTrainer(BaseTrainer):
 
         weights = zeroshot_classifier_weights(encode_text, IMAGENET_CLASSNAMES)
         batches = get_imagenet(dargs.imagenet_val_path, batch_size=dargs.eval_batch_size)
-        return evaluate_imagenet(lambda px: np.asarray(enc_img(jnp.asarray(px))), weights, batches)
+        metrics.update(
+            evaluate_imagenet(lambda px: np.asarray(enc_img(jnp.asarray(px))), weights, batches)
+        )
+        return metrics
+
+    def _flickr_eval(self):
+        """Flickr-style paired retrieval recall (reference
+        image_text.py:229-244)."""
+        from contrastors_tpu.data.image_text import ImageTextDataset
+        from contrastors_tpu.eval.image_text_retrieval import evaluate_image_text_retrieval
+
+        dargs = self.config.data_args
+        text_args = self.config.text_model_args
+        ds = ImageTextDataset(
+            dargs.flickr_shards,
+            global_batch_size=dargs.eval_batch_size,
+            tokenizer=self.tokenizer,
+            image_size=(self.config.transforms.image_size if self.config.transforms else 224),
+            is_train=False,
+            seq_len=text_args.seq_len or 77,
+            shuffle_buffer=0,
+        )
+
+        @jax.jit
+        def enc_img(px):
+            return self.dual.apply(self.params, method=self.dual.encode_image, pixel_values=px)
+
+        @jax.jit
+        def enc_txt(ids, mask):
+            return self.dual.apply(
+                self.params, method=self.dual.encode_text, input_ids=ids, attention_mask=mask
+            )
+
+        res = evaluate_image_text_retrieval(
+            lambda px: enc_img(jnp.asarray(px)),
+            lambda ids, m: enc_txt(jnp.asarray(ids), jnp.asarray(m)),
+            iter(ds),
+        )
+        return {f"flickr/{k}": v for k, v in res.items()}
 
     def save_vision_tower(self, out_dir: str):
         """Strip to the vision tower for export

@@ -177,3 +177,37 @@ def test_image_text_trainer(tmp_path):
     # vision tower export
     trainer.save_vision_tower(out)
     assert os.path.exists(os.path.join(out, "vision_tower"))
+
+
+def test_flickr_retrieval_eval(tmp_path):
+    text_ckpt = make_checkpoint_dir(tmp_path)
+    vis_ckpt = make_vision_checkpoint(tmp_path)
+    shards = make_tar_shards(tmp_path, n_shards=1, per_shard=16)
+
+    cfg = Config(
+        train_args=dict(
+            num_epochs=1, num_train_steps=1, learning_rate=1e-3, weight_decay=0.0,
+            warmup_steps=0, schedule_type="cosine", max_grad_norm=1.0,
+            adam_beta1=0.9, adam_beta2=0.95, log_lr_every=1, log_grads_every=100,
+            wandb=False, output_dir=str(tmp_path / "run"),
+        ),
+        data_args=dict(
+            image_text_shards=shards, batch_size=8, eval_batch_size=8, seed=0,
+            workers=0, shuffle=True, train_num_samples=16,
+            eval_flickr=True, flickr_shards=shards.replace("{0000..0000}", "0000"),
+        ),
+        model_args=dict(model_type="locked_text"),
+        text_model_args=dict(
+            model_type="locked_text", model_name=text_ckpt, pooling="mean",
+            freeze=True, pretrained=True, seq_len=12, attn_impl="sdpa",
+        ),
+        vision_model_args=dict(
+            model_type="locked_text", model_name=vis_ckpt, pooling="map",
+            pretrained=True, logit_scale=None, trainable_logit_scale=True, attn_impl="sdpa",
+        ),
+        transforms=dict(image_size=32),
+    )
+    trainer = TRAINER_REGISTRY["locked_text"](cfg, "fp32")
+    metrics = trainer.eval_loop(0)
+    assert "flickr/image_to_text_R@1" in metrics
+    assert 0.0 <= metrics["flickr/image_to_text_R@5"] <= 1.0
