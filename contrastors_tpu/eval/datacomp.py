@@ -1,0 +1,196 @@
+"""DataComp-style evaluation suite over local webdataset shards.
+
+Counterpart of the reference's datacomp harness (reference:
+eval/datacomp/{evaluate,wds_eval,retr_eval,aggregate_scores}.py — 38 tasks
+via the clip_benchmark package, absent from this image). The two task
+shapes the suite reduces to are implemented natively:
+
+  * zero-shot classification: tar shards of (image, cls-label json) pairs
+    + a classnames list -> prompt-ensembled accuracy;
+  * image-text retrieval: tar shards of (image, caption) pairs ->
+    recall@{1,5,10} both directions (eval/image_text_retrieval.py).
+
+A task list YAML ({tasks: [{name, type: zeroshot|retrieval, shards,
+classnames?}]}) drives the run; aggregate() averages by type, mirroring
+aggregate_scores.py.
+
+Usage:
+  python -m contrastors_tpu.eval.datacomp --model <DualEncoder ckpt parts>
+      --tasks tasklist.yaml
+"""
+
+import argparse
+import io
+import json
+import os
+import tarfile
+from typing import Callable, Dict, List
+
+import numpy as np
+import yaml
+
+from contrastors_tpu.data.image_text import iter_tar_samples
+from contrastors_tpu.data.text import expand_urls
+from contrastors_tpu.data.transforms import image_transform
+from contrastors_tpu.eval.image_text_retrieval import retrieval_recall
+from contrastors_tpu.eval.metrics import topk_accuracy
+from contrastors_tpu.eval.zero_shot import zeroshot_classifier_weights
+
+
+def iter_wds_classification(shards: str, image_size: int = 224):
+    """Yields (chw image, int label) from tar shards whose .json member has
+    a 'label' (or .cls text member)."""
+    transform = image_transform(image_size, is_train=False)
+    for url in expand_urls(shards):
+        with tarfile.open(url, "r") as tf:
+            current, sample = None, {}
+            for member in tf:
+                if not member.isfile():
+                    continue
+                base, ext = os.path.splitext(member.name)
+                if current is not None and base != current and "image" in sample:
+                    if "label" in sample:
+                        yield sample["image"], sample["label"]
+                    sample = {}
+                current = base
+                data = tf.extractfile(member).read()
+                ext = ext.lower()
+                if ext in (".jpg", ".jpeg", ".png", ".webp"):
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data))
+                    img.load()
+                    sample["image"] = transform(img)
+                elif ext == ".cls":
+                    sample["label"] = int(data.decode().strip())
+                elif ext == ".json":
+                    meta = json.loads(data)
+                    if "label" in meta:
+                        sample["label"] = int(meta["label"])
+            if "image" in sample and "label" in sample:
+                yield sample["image"], sample["label"]
+
+
+def zeroshot_classification_task(
+    encode_image: Callable[[np.ndarray], np.ndarray],
+    encode_text: Callable[[List[str]], np.ndarray],
+    shards: str,
+    classnames: List[str],
+    image_size: int = 224,
+    batch_size: int = 64,
+) -> Dict[str, float]:
+    weights = zeroshot_classifier_weights(encode_text, classnames)
+    logits, labels = [], []
+    batch = []
+    for img, label in iter_wds_classification(shards, image_size):
+        batch.append((img, label))
+        if len(batch) == batch_size:
+            embs = np.asarray(encode_image(np.stack([b[0] for b in batch])))
+            logits.append(embs @ weights.T)
+            labels.extend(b[1] for b in batch)
+            batch = []
+    if batch:
+        embs = np.asarray(encode_image(np.stack([b[0] for b in batch])))
+        logits.append(embs @ weights.T)
+        labels.extend(b[1] for b in batch)
+    acc = topk_accuracy(np.concatenate(logits), np.asarray(labels), ks=(1, 5))
+    return {"acc1": acc[1], "acc5": acc[5]}
+
+
+def retrieval_task(
+    encode_image,
+    encode_text_batch,
+    shards: str,
+    image_size: int = 224,
+    batch_size: int = 64,
+    max_samples: int = 5000,
+) -> Dict[str, float]:
+    transform = image_transform(image_size, is_train=False)
+    imgs, caps = [], []
+    for url in expand_urls(shards):
+        for s in iter_tar_samples(url):
+            imgs.append(transform(s["image"]))
+            caps.append(s["text"])
+            if len(imgs) >= max_samples:
+                break
+    img_embs, txt_embs = [], []
+    for start in range(0, len(imgs), batch_size):
+        img_embs.append(np.asarray(encode_image(np.stack(imgs[start : start + batch_size]))))
+        txt_embs.append(np.asarray(encode_text_batch(caps[start : start + batch_size])))
+    return retrieval_recall(np.concatenate(img_embs), np.concatenate(txt_embs))
+
+
+def aggregate(results: Dict[str, Dict[str, float]]) -> Dict[str, float]:
+    """Average the primary metric per task type (aggregate_scores.py)."""
+    by_type: Dict[str, List[float]] = {}
+    for name, res in results.items():
+        if "acc1" in res:
+            by_type.setdefault("zeroshot_acc1", []).append(res["acc1"])
+        if "image_to_text_R@1" in res:
+            mean_r = np.mean([res["image_to_text_R@1"], res["text_to_image_R@1"]])
+            by_type.setdefault("retrieval_R@1", []).append(float(mean_r))
+    return {k: float(np.mean(v)) for k, v in by_type.items()}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--text_model", required=True, help="text tower HF dir")
+    parser.add_argument("--vision_model", required=True, help="vision tower HF dir")
+    parser.add_argument("--tasks", required=True, help="task list yaml")
+    parser.add_argument("--image_size", type=int, default=224)
+    parser.add_argument("--output", default="datacomp_results.json")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from transformers import AutoTokenizer
+
+    from contrastors_tpu.config import ModelArgs
+    from contrastors_tpu.models.auto import load_biencoder
+
+    t_mod, t_params, _ = load_biencoder(
+        ModelArgs(model_type="encoder", model_name=args.text_model, pooling="mean"),
+        dtype=jnp.bfloat16,
+    )
+    v_mod, v_params, _ = load_biencoder(
+        ModelArgs(model_type="encoder", model_name=args.vision_model, pooling="map"),
+        dtype=jnp.bfloat16,
+    )
+    tokenizer = AutoTokenizer.from_pretrained(args.text_model)
+
+    @jax.jit
+    def enc_img(px):
+        return v_mod.apply(v_params, pixel_values=px)["embedding"]
+
+    @jax.jit
+    def enc_txt(ids, mask):
+        return t_mod.apply(t_params, input_ids=ids, attention_mask=mask)["embedding"]
+
+    def encode_text(texts):
+        enc = tokenizer(texts, padding="max_length", truncation=True, max_length=77, return_tensors="np")
+        return np.asarray(enc_txt(jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])))
+
+    def encode_image(px):
+        return np.asarray(enc_img(jnp.asarray(px)))
+
+    with open(args.tasks) as f:
+        tasks = yaml.safe_load(f)["tasks"]
+    results = {}
+    for task in tasks:
+        if task["type"] == "zeroshot":
+            results[task["name"]] = zeroshot_classification_task(
+                encode_image, encode_text, task["shards"], task["classnames"], args.image_size
+            )
+        elif task["type"] == "retrieval":
+            results[task["name"]] = retrieval_task(
+                encode_image, encode_text, task["shards"], args.image_size
+            )
+        print(task["name"], results[task["name"]])
+    results["aggregate"] = aggregate(results)
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    print("aggregate:", results["aggregate"])
+
+
+if __name__ == "__main__":
+    main()

@@ -211,3 +211,54 @@ def test_flickr_retrieval_eval(tmp_path):
     metrics = trainer.eval_loop(0)
     assert "flickr/image_to_text_R@1" in metrics
     assert 0.0 <= metrics["flickr/image_to_text_R@5"] <= 1.0
+
+
+def test_datacomp_zeroshot_and_aggregate(tmp_path):
+    """DataComp-lite: wds classification shards -> zero-shot accuracy +
+    aggregation (reference eval/datacomp/wds_eval.py, aggregate_scores.py)."""
+    import tarfile as tf_mod
+    from contrastors_tpu.eval.datacomp import (
+        aggregate,
+        iter_wds_classification,
+        zeroshot_classification_task,
+    )
+
+    rng = np.random.default_rng(0)
+    shard = tmp_path / "cls-0000.tar"
+    with tf_mod.open(shard, "w") as tf:
+        for i in range(8):
+            img = rand_image(rng)
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            data = buf.getvalue()
+            info = tf_mod.TarInfo(f"{i:04d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            meta = json.dumps({"label": i % 2}).encode()
+            info = tf_mod.TarInfo(f"{i:04d}.json")
+            info.size = len(meta)
+            tf.addfile(info, io.BytesIO(meta))
+
+    samples = list(iter_wds_classification(str(shard), image_size=32))
+    assert len(samples) == 8
+    assert {s[1] for s in samples} == {0, 1}
+
+    # toy encoders: embedding = mean pixel stats / bag of characters
+    def encode_image(px):
+        flat = px.reshape(px.shape[0], -1)
+        return flat[:, :16] / (np.linalg.norm(flat[:, :16], axis=1, keepdims=True) + 1e-6)
+
+    def encode_text(texts):
+        out = np.zeros((len(texts), 16), np.float32)
+        for i, t in enumerate(texts):
+            out[i, hash(t) % 16] = 1.0
+        return out
+
+    res = zeroshot_classification_task(
+        encode_image, encode_text, str(shard), ["cat", "dog"], image_size=32, batch_size=4
+    )
+    assert 0.0 <= res["acc1"] <= 1.0 and res["acc5"] == 1.0  # 2 classes -> top5 perfect
+
+    agg = aggregate({"a": res, "b": {"image_to_text_R@1": 0.5, "text_to_image_R@1": 0.7}})
+    assert agg["zeroshot_acc1"] == res["acc1"]
+    assert abs(agg["retrieval_R@1"] - 0.6) < 1e-9
