@@ -185,6 +185,11 @@ def main():
             results[task["name"]] = retrieval_task(
                 encode_image, encode_text, task["shards"], args.image_size
             )
+        else:
+            raise SystemExit(
+                f"unknown task type {task['type']!r} for task {task['name']!r}; "
+                "expected 'zeroshot' or 'retrieval'"
+            )
         print(task["name"], results[task["name"]])
     results["aggregate"] = aggregate(results)
     with open(args.output, "w") as f:
