@@ -250,6 +250,7 @@ class ParallelArgs(_Base):
     # shard optimizer state over the data axis (ZeRO-ish; reference uses
     # DeepSpeed ZeRO-2, configs/deepspeed/ds_config.json)
     shard_optimizer_state: bool = True
+    opt_state_shard_min_size: int = 2**16  # smaller leaves stay replicated
     remat: bool = False  # jax.checkpoint each block
     prefetch: int = 2  # host->device pipeline depth
 

@@ -61,6 +61,12 @@ class BaseTrainer(ABC):
             frozen_mask=self.frozen_mask(),
         )
         self.opt_state = self.tx.init(self.params)
+        if pa.shard_optimizer_state and self.mesh.shape.get("data", 1) > 1:
+            from contrastors_tpu.parallel.sharding import shard_optimizer_state
+
+            self.opt_state = shard_optimizer_state(
+                self.opt_state, self.mesh, min_size=pa.opt_state_shard_min_size
+            )
         self.step = 0
 
         # EMA weights (reference: base.py:387-392, config.py:179 — the hook
