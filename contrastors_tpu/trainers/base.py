@@ -280,11 +280,16 @@ class BaseTrainer(ABC):
                 if ta.save_every and self.step % ta.save_every == 0 and ta.output_dir:
                     self.save_state(ta.output_dir, self.step)
 
-                if (
+                eval_due = (
                     ta.eval_strategy == "steps"
                     and ta.eval_steps
                     and self.step % ta.eval_steps == 0
-                ):
+                ) or (
+                    ta.eval_strategy == "epochs"
+                    and self.steps_per_epoch
+                    and self.step % self.steps_per_epoch == 0
+                )
+                if eval_due:
                     eval_metrics = self.eval_loop(self.step)
                     if eval_metrics:
                         self.tracker.log(eval_metrics, self.step)

@@ -224,3 +224,54 @@ def test_gradient_accumulation(tmp_path):
     leaf2 = np.asarray(jax.tree_util.tree_leaves(p2)[0])
     assert "grad_norm" in m2
     assert np.abs(leaf2 - leaf0).max() > 0  # updated after 2 micro-steps
+
+
+def test_eval_strategy_epochs(tmp_path):
+    """eval_strategy=epochs fires the eval loop at each epoch boundary
+    (the reference glue recipe's mode)."""
+    ckpt = make_checkpoint_dir(tmp_path)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(ckpt)
+    data = make_tokenized_dataset(tmp_path, tok, n=32)
+    out = str(tmp_path / "run_ep")
+    cfg = Config(
+        train_args=_train_args(out, num_epochs=2, eval_strategy="epochs"),
+        data_args=dict(
+            tokenized_dataset=data, mlm_prob=0.3, val_mlm_prob=0.15,
+            batch_size=16, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(model_type="mlm", model_name=ckpt, pretrained=True, attn_impl="sdpa"),
+    )
+    trainer = TRAINER_REGISTRY["mlm"](cfg, "fp32")
+    trainer.train()
+    metrics = read_metrics(out)
+    evals = [m for m in metrics if "val_perplexity" in m]
+    assert len(evals) == 2  # once per epoch (2 steps/epoch * 2 epochs)
+    assert {m["step"] for m in evals} == {2, 4}
+
+
+def test_profile_flag_writes_trace(tmp_path):
+    """train_args.profile wraps the loop in jax.profiler.trace and stops
+    after 10 steps (reference base.py:450-463,520-521)."""
+    import os
+    ckpt = make_checkpoint_dir(tmp_path)
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(ckpt)
+    data = make_tokenized_dataset(tmp_path, tok, n=64)
+    out = str(tmp_path / "run_prof")
+    cfg = Config(
+        train_args=_train_args(out, profile=True),
+        data_args=dict(
+            tokenized_dataset=data, mlm_prob=0.3, val_mlm_prob=0.15,
+            batch_size=16, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(model_type="mlm", model_name=ckpt, pretrained=True, attn_impl="sdpa"),
+    )
+    trainer = TRAINER_REGISTRY["mlm"](cfg, "fp32")
+    trainer.train()
+    trace_dir = os.path.join(out, "trace")
+    assert os.path.isdir(trace_dir)
+    files = [f for _, _, fs in os.walk(trace_dir) for f in fs]
+    assert files, "profiler produced no trace files"
