@@ -240,13 +240,25 @@ class BaseTrainer(ABC):
         t_start = time.time()
         last_log = t_start
         examples = 0
-        data_iter = iter(self.dataloader)
+        from contrastors_tpu.utils.prefetch import PrefetchIterator
+
+        depth = self.config.parallel_args.prefetch
+
+        def fresh_iter():
+            it = iter(self.dataloader)
+            if depth and depth > 0:
+                # background thread runs tokenization/decoding while the TPU
+                # executes the previous step (SURVEY.md §7 hard part 7)
+                return PrefetchIterator(it, depth=depth)
+            return it
+
+        data_iter = fresh_iter()
         with self.mesh:
             while self.step < self.total_steps:
                 try:
                     host_batch = next(data_iter)
                 except StopIteration:
-                    data_iter = iter(self.dataloader)
+                    data_iter = fresh_iter()
                     host_batch = next(data_iter)
 
                 meta = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
