@@ -229,3 +229,17 @@ def test_optimizer_state_sharding_equivalence(tmp_path):
     b = jax.tree_util.tree_leaves(t_repl.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_bf16_trainer(tmp_path):
+    """dtype=bf16 compute path trains with finite, decreasing loss."""
+    ckpt = make_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=64)
+    out = str(tmp_path / "run_bf16")
+    cfg = base_config(ckpt, data, out, num_epochs=2)
+    trainer = TRAINER_REGISTRY["encoder"](cfg, "bf16")
+    trainer.train()
+    metrics = read_metrics(out)
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
