@@ -54,6 +54,14 @@ class Encoder:
             return out["embedding"]
 
         self._encode_fn = _encode
+        self._batch_sharding = None
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            # shard eval batches over the data axis: the SPMD replacement for
+            # the reference's one-worker-per-GPU encode pool
+            # (reference eval/encoder.py:218-335)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P("data"))
 
     def _postprocess(self, emb: np.ndarray) -> np.ndarray:
         emb = emb.astype(np.float32)
@@ -78,13 +86,12 @@ class Encoder:
                 texts, padding="max_length", truncation=True,
                 max_length=self.seq_len, return_tensors="np",
             )
-            emb = np.asarray(
-                self._encode_fn(
-                    self.params,
-                    jnp.asarray(enc["input_ids"].astype(np.int32)),
-                    jnp.asarray(enc["attention_mask"].astype(np.int32)),
-                )
-            )[: len(chunk)]
+            ids = jnp.asarray(enc["input_ids"].astype(np.int32))
+            mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
+            if self._batch_sharding is not None:
+                ids = jax.device_put(ids, self._batch_sharding)
+                mask = jax.device_put(mask, self._batch_sharding)
+            emb = np.asarray(self._encode_fn(self.params, ids, mask))[: len(chunk)]
             out.append(emb)
         return self._postprocess(np.concatenate(out))
 

@@ -173,3 +173,24 @@ def test_vit_export_round_trip(tmp_path):
         a = hf(torch.tensor(px)).last_hidden_state
         b = reloaded(torch.tensor(px)).last_hidden_state
     np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)
+
+
+def test_encoder_mesh_sharded_encode(tmp_path):
+    """Mesh-sharded eval encode over 8 devices matches single-device."""
+    import jax
+    from jax.sharding import Mesh
+
+    enc_single, _ = build_encoder(tmp_path / "s")
+    enc_mesh, _ = build_encoder(tmp_path / "m")
+    mesh = Mesh(np.array(jax.devices()).reshape(8, 1, 1), ("data", "expert", "tensor"))
+    enc_mesh._batch_sharding = None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    enc_mesh._batch_sharding = NamedSharding(mesh, P("data"))
+    enc_mesh.batch_size = 8
+    enc_single.batch_size = 8
+    sents = [f"word{i} word{i+3}" for i in range(16)]
+    with mesh:
+        a = enc_mesh.encode(sents)
+    b = enc_single.encode(sents)
+    np.testing.assert_allclose(a, b, atol=1e-5)
