@@ -182,7 +182,10 @@ class TextTextTrainer(BaseTrainer):
                 return res
 
             def loss_fn(q, d, scale_params):
-                loss, _ = clip_loss(q, d, self._scale_fn(scale_params), bidirectional=ta.loss_fn == "clip_bidirectional")
+                loss, _ = clip_loss(
+                    q, d, self._scale_fn(scale_params),
+                    bidirectional=ta.loss_fn == "clip_bidirectional",
+                )
                 return loss
 
             @partial(jax.jit, donate_argnums=(0, 1))

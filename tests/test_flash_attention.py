@@ -109,3 +109,29 @@ def test_flash_bf16_noise_floor():
     )
     err = np.abs(np.asarray(out, dtype=np.float32) - np.asarray(gold)).max()
     assert err < 3 * max(noise, 1e-6), f"bf16 flash err {err} vs noise {noise}"
+
+
+def test_dispatch_threshold_in_model():
+    """attention_core picks flash only at kv >= flash_min_seq: the jaxpr of
+    a long-seq model contains a pallas_call, the short-seq one doesn't."""
+    from contrastors_tpu.models.model_config import TrunkConfig
+    from contrastors_tpu.models.nomic_bert import NomicBertModel
+
+    def has_pallas(seq):
+        cfg = TrunkConfig(
+            n_embd=128, n_layer=1, n_head=2, n_inner=256, vocab_size=128,
+            n_positions=0, rotary_emb_fraction=1.0, pad_token_id=0,
+            attn_impl="flash",
+        )
+        model = NomicBertModel(config=cfg)
+        ids = jnp.ones((1, seq), jnp.int32)
+        mask = jnp.ones_like(ids)
+        params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), ids, mask))
+        import flax
+
+        params = jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+        jaxpr = jax.make_jaxpr(lambda p: model.apply(p, ids, mask)["last_hidden_state"])(params)
+        return "pallas_call" in str(jaxpr)
+
+    assert has_pallas(1024), "long sequences must lower to the Pallas kernel"
+    assert not has_pallas(256), "short sequences must stay on the SDPA path"
