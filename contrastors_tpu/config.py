@@ -18,7 +18,9 @@ OPENAI_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
 
 _DISTILL_LOSSES = ("mse", "kd", "towers", "stella")
 _POOLINGS = ("mean", "last", "cls", "map", "none")
-_MODEL_TYPES = ("encoder", "mlm", "glue", "image_text", "locked_text", "mmlm", "distill")
+# Mirrors TRAINER_REGISTRY (trainers/__init__.py); reference set at
+# trainers/__init__.py:9-17 ("clip" = unlocked CLIP training).
+_MODEL_TYPES = ("encoder", "mlm", "glue", "clip", "locked_text", "mmlm", "distill")
 
 
 class _Base(BaseModel):
@@ -191,11 +193,24 @@ class ModelArgs(_Base):
     num_shared_experts: int = 0
     resid_pdrop: Optional[float] = None
     moe_every_n_layers: int = 1
-    query_prefix: str = "search_query: "
-    document_prefix: str = "search_document: "
+    # Optional: reference distill.yaml:43 sets document_prefix null
+    # (reference config.py:189-190).
+    query_prefix: Optional[str] = "search_query: "
+    document_prefix: Optional[str] = "search_document: "
     distill_init_pretrained: bool = False
     # TPU-specific: which attention kernel to lower to.
     attn_impl: str = "flash"  # "flash" (Pallas) | "sdpa" (XLA einsum)
+
+    @model_validator(mode="before")
+    @classmethod
+    def _alias_top_k(cls, values):
+        # Several reference recipes (contrastive_pretrain_tk2.yaml:40,
+        # contrastive_pretrain_multilingual.yaml:46) spell the routing knob
+        # "top_k"; accept it as an alias so those YAMLs parse unchanged.
+        if isinstance(values, dict) and "top_k" in values and "moe_top_k" not in values:
+            values = dict(values)
+            values["moe_top_k"] = values.pop("top_k")
+        return values
 
     @field_validator("logit_scale", mode="before")
     @classmethod

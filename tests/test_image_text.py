@@ -262,3 +262,44 @@ def test_datacomp_zeroshot_and_aggregate(tmp_path):
     agg = aggregate({"a": res, "b": {"image_to_text_R@1": 0.5, "text_to_image_R@1": 0.7}})
     assert agg["zeroshot_acc1"] == res["acc1"]
     assert abs(agg["retrieval_R@1"] - 0.6) < 1e-9
+
+
+def test_unlocked_clip_trainer(tmp_path):
+    """model_type 'clip' (both towers trainable — reference
+    trainers/__init__.py:9-17) dispatches and trains; was unreachable from
+    YAML in round 1 (_MODEL_TYPES listed 'image_text' instead)."""
+    text_ckpt = make_checkpoint_dir(tmp_path)
+    vis_ckpt = make_vision_checkpoint(tmp_path)
+    shards = make_tar_shards(tmp_path, n_shards=1, per_shard=16)
+    out = str(tmp_path / "run_clip")
+
+    cfg = Config(
+        train_args=dict(
+            num_epochs=1, num_train_steps=2, learning_rate=1e-3, weight_decay=0.0,
+            warmup_steps=1, schedule_type="cosine", max_grad_norm=1.0,
+            adam_beta1=0.9, adam_beta2=0.95, log_lr_every=1, log_grads_every=100,
+            wandb=False, output_dir=out,
+        ),
+        data_args=dict(
+            image_text_shards=shards, batch_size=8, eval_batch_size=8, seed=0,
+            workers=0, shuffle=True, train_num_samples=16,
+        ),
+        model_args=dict(model_type="clip"),
+        text_model_args=dict(
+            model_type="clip", model_name=text_ckpt, pooling="mean",
+            freeze=False, pretrained=True, seq_len=12, attn_impl="sdpa",
+        ),
+        vision_model_args=dict(
+            model_type="clip", model_name=vis_ckpt, pooling="map",
+            pretrained=True, logit_scale=None, trainable_logit_scale=True, attn_impl="sdpa",
+        ),
+        transforms=dict(image_size=32),
+    )
+    trainer = TRAINER_REGISTRY["clip"](cfg, "fp32")
+    before = np.asarray(trainer.params["params"]["text"]["trunk"]["emb_ln"]["weight"]).copy()
+    trainer.train()
+    metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert metrics and all(np.isfinite(m["loss"]) for m in metrics)
+    # unlocked: text tower must actually receive updates
+    after = np.asarray(trainer.params["params"]["text"]["trunk"]["emb_ln"]["weight"])
+    assert not np.allclose(before, after)

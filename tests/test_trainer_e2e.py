@@ -243,3 +243,49 @@ def test_bf16_trainer(tmp_path):
     losses = [m["loss"] for m in metrics if "loss" in m]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]
+
+
+def make_decoder_checkpoint_dir(tmp_path, vocab_size=128):
+    """Random tiny HF GPT-NeoX checkpoint (decoder-trunk BiEncoder path,
+    reference configs/train/contrastive_pretrain_pythia.yaml)."""
+    from transformers import GPTNeoXConfig, GPTNeoXModel
+    from safetensors.torch import save_file
+
+    torch.manual_seed(3)
+    cfg = GPTNeoXConfig(
+        vocab_size=vocab_size,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=64,
+        rotary_pct=0.25,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+    )
+    model = GPTNeoXModel(cfg)
+    ckpt = tmp_path / "tiny-neox"
+    ckpt.mkdir(parents=True)
+    cfg.save_pretrained(str(ckpt))
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(ckpt / "model.safetensors"),
+    )
+    return str(ckpt)
+
+
+def test_decoder_contrastive_trainer(tmp_path):
+    """Decoder-trunk contrastive training (pythia-style recipe path:
+    last-token pooling, causal trunk) trains end-to-end."""
+    tok_dir = make_checkpoint_dir(tmp_path)  # provides a local tokenizer
+    ckpt = make_decoder_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=64)
+    out = str(tmp_path / "run_decoder")
+    cfg = base_config(ckpt, data, out, num_epochs=2)
+    cfg.model_args.tokenizer_name = tok_dir
+    cfg.model_args.pooling = "last"
+    trainer = run_trainer(cfg)
+    metrics = read_metrics(out)
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
