@@ -1,11 +1,16 @@
 """Checkpoint export: flax train state -> HuggingFace torch-loadable dir.
 
 TPU counterpart of the reference convert_to_hf.py (reference:
-convert_to_hf.py:8-40 + the inverse remaps models/encoder/bert.py:260-366).
-Strips a BiEncoder checkpoint to its trunk, converts the flax pytree to the
-vanilla HF BERT naming, and writes config.json + model.safetensors that
-`transformers.BertModel.from_pretrained` loads directly (push_to_hub is a
-network call away in a connected environment).
+convert_to_hf.py:8-40 + the inverse remaps models/encoder/bert.py:260-366 +
+the hub-side torch model models/huggingface/modeling_hf_nomic_bert.py).
+Strips a BiEncoder checkpoint to its trunk and writes an HF dir:
+  * vanilla absolute-position trunks -> model_type "bert", loadable by
+    `transformers.BertModel.from_pretrained` directly;
+  * flagship rotary / gated-MLP / rms-norm trunks -> a trust_remote_code
+    package (model_type "nomic_bert" + self-contained modeling file,
+    models/modeling_nomic_bert_hf.py) loadable via
+    `AutoModel.from_pretrained(dir, trust_remote_code=True)`.
+push_to_hub is a network call away in a connected environment.
 
 Usage:
   python -m contrastors_tpu.export --ckpt_path ckpts/run/step_N \
@@ -53,6 +58,85 @@ def trunk_config_to_hf_bert_dict(cfg: TrunkConfig, orig_vocab_size: Optional[int
     }
 
 
+def _needs_nomic_export(cfg: TrunkConfig) -> bool:
+    """Vanilla BertModel silently ignores rotary/gated-MLP keys — exporting
+    such a trunk as model_type 'bert' yields wrong embeddings (the round-1
+    flagship-export gap). Those trunks need the trust_remote_code package."""
+    from contrastors_tpu.layers.activations import is_gated
+
+    return cfg.rotary_emb_fraction > 0 or is_gated(cfg.activation_function) or bool(cfg.use_rms_norm)
+
+
+def trunk_config_to_nomic_hf_dict(cfg: TrunkConfig, orig_vocab_size: Optional[int] = None) -> dict:
+    return {
+        "architectures": ["NomicBertModel"],
+        "model_type": "nomic_bert",
+        "auto_map": {
+            "AutoConfig": "modeling_nomic_bert.NomicBertConfig",
+            "AutoModel": "modeling_nomic_bert.NomicBertModel",
+            "AutoModelForMaskedLM": "modeling_nomic_bert.NomicBertForMaskedLM",
+        },
+        "vocab_size": orig_vocab_size or cfg.vocab_size,
+        "hidden_size": cfg.n_embd,
+        "num_hidden_layers": cfg.n_layer,
+        "num_attention_heads": cfg.n_head,
+        "intermediate_size": cfg.n_inner,
+        "hidden_act": cfg.activation_function,
+        "hidden_dropout_prob": cfg.resid_pdrop,
+        "attention_probs_dropout_prob": cfg.attn_pdrop,
+        "max_position_embeddings": cfg.n_positions,
+        "type_vocab_size": cfg.type_vocab_size,
+        "initializer_range": cfg.initializer_range,
+        "layer_norm_eps": cfg.layer_norm_epsilon,
+        "pad_token_id": cfg.pad_token_id,
+        "rotary_emb_fraction": cfg.rotary_emb_fraction,
+        "rotary_emb_base": cfg.rotary_emb_base,
+        "rotary_emb_interleaved": cfg.rotary_emb_interleaved,
+        "max_trained_positions": cfg.max_trained_positions,
+        "qkv_proj_bias": cfg.qkv_proj_bias,
+        "mlp_fc1_bias": cfg.mlp_fc1_bias,
+        "mlp_fc2_bias": cfg.mlp_fc2_bias,
+        "use_rms_norm": bool(cfg.use_rms_norm),
+    }
+
+
+def export_nomic_bert_trunk(
+    trunk_params: dict,
+    cfg: TrunkConfig,
+    output_dir: str,
+    orig_vocab_size: Optional[int] = None,
+):
+    """Write a runnable trust_remote_code package for the flagship
+    rotary+swiglu architecture: config.json (model_type nomic_bert +
+    auto_map), the self-contained torch modeling file, and flash-named
+    safetensors (reference role: convert_to_hf.py:8-40 +
+    models/huggingface/modeling_hf_nomic_bert.py)."""
+    import shutil
+
+    from safetensors.numpy import save_file
+
+    from contrastors_tpu.models import modeling_nomic_bert_hf
+    from contrastors_tpu.models.hf_interop import flax_to_nomic_state_dict
+
+    sd = flax_to_nomic_state_dict(trunk_params, cfg)
+    if orig_vocab_size and orig_vocab_size < cfg.vocab_size:
+        sd["embeddings.word_embeddings.weight"] = sd["embeddings.word_embeddings.weight"][
+            :orig_vocab_size
+        ]
+
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(trunk_config_to_nomic_hf_dict(cfg, orig_vocab_size), f, indent=2)
+    shutil.copyfile(
+        modeling_nomic_bert_hf.__file__, os.path.join(output_dir, "modeling_nomic_bert.py")
+    )
+    save_file(
+        {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in sd.items()},
+        os.path.join(output_dir, "model.safetensors"),
+    )
+    return output_dir
+
+
 def export_bert_trunk(
     trunk_params: dict,
     cfg: TrunkConfig,
@@ -61,8 +145,13 @@ def export_bert_trunk(
     strip_bert_prefix: bool = True,
 ):
     """trunk_params: the flax params of NomicBertModel ({"params": {...}} or
-    the inner dict). Writes config.json + model.safetensors."""
+    the inner dict). Writes config.json + model.safetensors. Trunks that a
+    vanilla BertModel cannot represent are routed to the trust_remote_code
+    package automatically."""
     from safetensors.numpy import save_file
+
+    if _needs_nomic_export(cfg):
+        return export_nomic_bert_trunk(trunk_params, cfg, output_dir, orig_vocab_size)
 
     sd = flax_to_bert_state_dict(trunk_params, cfg)
     if orig_vocab_size and orig_vocab_size < cfg.vocab_size:

@@ -291,5 +291,49 @@ def flax_to_bert_state_dict(params: dict, config: TrunkConfig) -> Dict[str, Arra
     return sd
 
 
+def flax_to_nomic_state_dict(params: dict, config: TrunkConfig) -> Dict[str, Array]:
+    """Inverse remap keeping the flash naming (Wqkv fused, fc11/fc12,
+    norm1/norm2) — the layout the exported trust_remote_code torch model
+    (models/modeling_nomic_bert_hf.py) loads with strict=True, and which
+    normalize_bert_keys() re-imports. Counterpart of the reference's hub
+    checkpoints for nomic-bert-2048 (reference
+    models/huggingface/modeling_hf_nomic_bert.py state-dict layout)."""
+    p = params["params"] if "params" in params else params
+    sd: Dict[str, Array] = {}
+    emb = p["embeddings"]
+    sd["embeddings.word_embeddings.weight"] = np.asarray(emb["word_embeddings"]["embedding"])
+    if "position_embeddings" in emb:
+        sd["embeddings.position_embeddings.weight"] = np.asarray(
+            emb["position_embeddings"]["embedding"]
+        )
+    if "token_type_embeddings" in emb:
+        sd["embeddings.token_type_embeddings.weight"] = np.asarray(
+            emb["token_type_embeddings"]["embedding"]
+        )
+    sd["emb_ln.weight"] = np.asarray(p["emb_ln"]["weight"])
+    if "bias" in p["emb_ln"]:
+        sd["emb_ln.bias"] = np.asarray(p["emb_ln"]["bias"])
+
+    for i in range(config.n_layer):
+        lp = p[f"layers_{i}"]
+        pre = f"encoder.layers.{i}"
+        sd[f"{pre}.attn.Wqkv.weight"] = _t(np.asarray(lp["attn"]["Wqkv"]["kernel"]))
+        if "bias" in lp["attn"]["Wqkv"]:
+            sd[f"{pre}.attn.Wqkv.bias"] = np.asarray(lp["attn"]["Wqkv"]["bias"])
+        sd[f"{pre}.attn.out_proj.weight"] = _t(np.asarray(lp["attn"]["out_proj"]["kernel"]))
+        if "bias" in lp["attn"]["out_proj"]:
+            sd[f"{pre}.attn.out_proj.bias"] = np.asarray(lp["attn"]["out_proj"]["bias"])
+        for norm in ("norm1", "norm2"):
+            sd[f"{pre}.{norm}.weight"] = np.asarray(lp[norm]["weight"])
+            if "bias" in lp[norm]:
+                sd[f"{pre}.{norm}.bias"] = np.asarray(lp[norm]["bias"])
+        for fc in ("fc1", "fc2", "fc11", "fc12"):
+            if fc in lp["mlp"]:
+                sd[f"{pre}.mlp.{fc}.weight"] = _t(np.asarray(lp["mlp"][fc]["kernel"]))
+                if "bias" in lp["mlp"][fc]:
+                    sd[f"{pre}.mlp.{fc}.bias"] = np.asarray(lp["mlp"][fc]["bias"])
+    return sd
+
+
 def torch_state_dict_to_numpy(sd) -> Dict[str, Array]:
     return {k: v.detach().cpu().float().numpy() for k, v in sd.items()}
