@@ -122,7 +122,7 @@ class TrunkConfig:
 
     # kernel selection (TPU-specific; no reference counterpart)
     attn_impl: str = "sdpa"  # "sdpa" | "flash"
-    flash_block_q: int = 256
+    flash_block_q: int = 512
     flash_block_kv: int = 2048
 
     def __post_init__(self):

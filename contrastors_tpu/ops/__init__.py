@@ -21,24 +21,24 @@ def attention_core(
     softmax_scale: Optional[float] = None,
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
-    block_q: int = 256,
+    block_q: int = 512,
     block_kv: int = 2048,
-    flash_min_seq: int = 1024,
+    flash_min_seq: int = 512,
 ) -> jnp.ndarray:
     """Single entry point for every attention call in the model zoo.
 
     impl="flash" lowers to the Pallas kernel when the shape qualifies
-    (TPU backend, no attention dropout, head-dim aligned) AND the kv length
-    is long enough to pay for it; otherwise the XLA SDPA path runs, which
-    is numerically interchangeable.
+    (TPU backend, no attention dropout, head-dim aligned, q heads a
+    multiple of kv heads — GQA runs in-kernel) AND the kv length is long
+    enough to pay for it; otherwise the XLA SDPA path runs, which is
+    numerically interchangeable.
 
-    Measured crossover on v5e (nomic-bert geometry, fwd+bwd, equal token
-    budget): S=256 SDPA 77.6% MFU vs flash 50.3%; S=1024 flash 44.3% vs
-    SDPA 41.2%; S=2048 flash 35.8% vs SDPA 25.9%. Short sequences are
-    matmul-bound (attention is ~2% of FLOPs) and the kernel's layout
-    transposes/launches cost more than the O(S^2) materialization it
-    avoids, hence the >= 1024 gate. impl="flash_always" forces the kernel
-    (kernel tests).
+    Measured crossover on v5e (nomic-bert geometry H=12 D=64, fwd+bwd
+    attention-only TFLOP/s at a 16k-token budget, round-2 exp2 kernel):
+    S=256 SDPA 24.1 vs flash 22.3; S=512 flash 44.1 vs SDPA 26.1;
+    S=2048 flash 95.5 vs SDPA 30.3; S=4096 flash 104. Crossover sits
+    between 256 and 512, hence the >= 512 gate. impl="flash_always"
+    forces the kernel (kernel tests).
     """
     if impl in ("flash", "flash_always") and dropout_p == 0.0:
         from contrastors_tpu.ops.flash_attention import flash_attention, flash_shape_ok

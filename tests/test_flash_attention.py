@@ -135,3 +135,36 @@ def test_dispatch_threshold_in_model():
 
     assert has_pallas(1024), "long sequences must lower to the Pallas kernel"
     assert not has_pallas(256), "short sequences must stay on the SDPA path"
+
+
+@pytest.mark.parametrize("hkv", [1, 2])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gqa_matches_sdpa(causal, hkv):
+    """GQA/MQA in-kernel path (Llama geometry: H=8 q heads over Hkv kv
+    heads) — forward AND backward vs the repeat-kv SDPA oracle."""
+    rng = np.random.default_rng(11)
+    B, S, H, D = 2, 256, 8, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, hkv, D)), jnp.float32)
+    lengths = [S, S - 77]
+    mask = jnp.asarray(np.array([[1] * l + [0] * (S - l) for l in lengths]), jnp.int32)
+
+    def f_flash(q, k, v):
+        out = flash_attention(q, k, v, attention_mask=mask, causal=causal, block_q=128, block_kv=128)
+        return (out * mask[:, :, None, None]).astype(jnp.float32).sum(), out
+
+    def f_sdpa(q, k, v):
+        out = sdpa(q, k, v, attention_mask=mask, causal=causal)
+        return (out * mask[:, :, None, None]).astype(jnp.float32).sum(), out
+
+    (_, out_f), grads_f = jax.value_and_grad(f_flash, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    (_, out_s), grads_s = jax.value_and_grad(f_sdpa, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+
+    for b, l in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(out_f)[b, :l], np.asarray(out_s)[b, :l], atol=2e-5, rtol=1e-4
+        )
+    for gf, gs, name in zip(grads_f, grads_s, "qkv"):
+        assert gf.shape == gs.shape, name
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), atol=5e-5, rtol=1e-3, err_msg=name)
