@@ -129,7 +129,11 @@ class ImageTextDataset:
     def _shard_order(self) -> List[str]:
         rng = random.Random(self.seed + self.shared_epoch.epoch)
         if self.resampled:
-            # infinite weighted resampling (ResampledShards2)
+            # infinite weighted resampling (ResampledShards2). Fold the rank
+            # into the RNG so every process draws a DIFFERENT shard sequence
+            # (reference splits by node+worker, image_text_loader.py:282-334;
+            # without this all ranks would train on identical samples).
+            rng = random.Random((self.seed + self.shared_epoch.epoch) * 1_000_003 + self.rank)
             return [rng.choice(self.urls) for _ in range(max(len(self.urls), 1) * 4)]
         urls = list(self.urls)
         if self.is_train:

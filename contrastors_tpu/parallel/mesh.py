@@ -34,10 +34,19 @@ def data_axis_size(mesh: Mesh) -> int:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with leading dim sharded over the data axis."""
+    """Device-put a host batch with leading dim sharded over the data axis.
+
+    Single-process: the host array IS the global batch. Multi-host: each
+    process holds only its rank's slice (the data layer reads per-rank
+    quotas), so the global array is assembled from process-local shards —
+    the JAX counterpart of the reference's per-rank DataLoader + DDP
+    (reference text_text_loader.py:306-331)."""
     sharding = NamedSharding(mesh, P("data"))
 
     def put(x):
+        if jax.process_count() > 1:
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            return jax.make_array_from_process_local_data(sharding, x, global_shape)
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)

@@ -3,8 +3,11 @@
 Usage: python -m contrastors_tpu.train --config=configs/train/X.yaml \
            [--dtype=bf16] [--key=value overrides]
 
-NCCL/DeepSpeed process-group setup is replaced by jax.distributed (multi-host
-auto-detected) + the mesh built inside BaseTrainer.
+NCCL/DeepSpeed process-group setup (reference train.py:114-118) is replaced
+by utils.dist.maybe_initialize_distributed(): set CONTRASTORS_TPU_MULTIHOST=1
+on TPU pods (auto-detection), or JAX_COORDINATOR_ADDRESS + NUM_PROCESSES +
+PROCESS_ID on CPU/GPU clusters; single-host runs need nothing. The mesh is
+built inside BaseTrainer over all global devices.
 """
 
 import argparse
@@ -42,7 +45,9 @@ def update_config_with_args(config, args):
 
 def main(argv=None):
     from contrastors_tpu.utils.compile_cache import enable as enable_compile_cache
+    from contrastors_tpu.utils.dist import maybe_initialize_distributed
 
+    maybe_initialize_distributed()
     enable_compile_cache()
     args = parse_args(argv)
     config = read_config(args.config)

@@ -270,7 +270,8 @@ class BaseTrainer(ABC):
                     self.params, self.opt_state, batch, step_rng
                 )
                 self.step += 1
-                examples += next(iter(arrays.values())).shape[0]
+                # host batch is the per-process slice; examples/sec is global
+                examples += next(iter(arrays.values())).shape[0] * jax.process_count()
                 if self.ema_params is not None:
                     self.ema_params = self._ema_update(self.ema_params, self.params)
 
@@ -304,7 +305,12 @@ class BaseTrainer(ABC):
                 if eval_due:
                     eval_metrics = self.eval_loop(self.step)
                     if eval_metrics:
-                        self.tracker.log(eval_metrics, self.step)
+                        # host-side eval numbers are per-process; train-step
+                        # metrics are already global (GSPMD loss on global
+                        # arrays — no gather needed, unlike ref base.py:485-498)
+                        from contrastors_tpu.utils.dist import process_allmean
+
+                        self.tracker.log(process_allmean(eval_metrics), self.step)
 
                 if ta.profile and self.step >= 10:
                     break
