@@ -142,6 +142,13 @@ class ContrastiveDataArgs(DataArgs):
     sample_negatives: bool = True
     query_max_length: Optional[int] = None
     document_max_length: Optional[int] = None
+    # TPU-specific sequence packing (data/packing.py; no reference
+    # counterpart — the CUDA stack pads and relies on varlen kernels):
+    # pack batch rows of packed_seq_len tokens holding up to
+    # packed_max_segments sequences each, attention masked per segment.
+    packed: bool = False
+    packed_seq_len: Optional[int] = None
+    packed_max_segments: int = 4
 
 
 class ImageTextDataArgs(DataArgs):
@@ -272,6 +279,16 @@ class ParallelArgs(_Base):
 
 class Config(_Base):
     train_args: TrainArgs
+
+    @model_validator(mode="after")
+    def _packed_checks(self):
+        if (
+            self.data_args is not None
+            and getattr(self.data_args, "packed", False)
+            and self.train_args.grad_cache
+        ):
+            raise ValueError("packed batches are not yet supported with grad_cache")
+        return self
     data_args: Optional[Union[MLMDataArgs, ImageTextDataArgs, ContrastiveDataArgs]] = None
     text_data_args: Optional[ContrastiveDataArgs] = None
     model_args: Optional[ModelArgs] = None

@@ -1,0 +1,82 @@
+"""Static-shape sequence packing (beyond-reference: the CUDA reference pads
+every sequence to max_length and relies on flash-attn varlen to skip pads;
+on TPU we instead pack several sequences into fixed-length rows with
+segment ids — the XLA-friendly equivalent of cu_seqlens, and a real
+throughput win because pad tokens vanish from every matmul, not just
+attention.
+
+Geometry is static for jit: a batch of B sequences packs into exactly
+R = ceil(B / max_segments) rows of row_len tokens, each row holding at most
+max_segments segments. First-fit-decreasing keeps rows balanced; a sequence
+that cannot fully fit in its row's remaining space is truncated (choose
+max_segments ~ row_len / mean_len so this stays rare — the tokenizer
+truncates to a max length anyway).
+
+Output contract (consumed by BiEncoder's packed path):
+  input_ids    [R, row_len]  packed tokens, pad_id elsewhere
+  segment_ids  [R, row_len]  1..max_segments per segment, 0 = pad
+  position_ids [R, row_len]  restart at 0 at each segment start
+  pair_index   [B]           flat gather index row * max_segments + (seg - 1)
+                             recovering sequence i's pooled embedding from
+                             the [R * max_segments, D] per-segment matrix
+"""
+
+from typing import Dict, List
+
+import numpy as np
+
+
+def pack_tokenized(
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+    row_len: int,
+    max_segments: int,
+    pad_id: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Pack padded [B, L] tokenized sequences into [R, row_len] rows."""
+    B = input_ids.shape[0]
+    lengths = attention_mask.sum(axis=1).astype(np.int64)
+    R = -(-B // max_segments)
+
+    ids = np.full((R, row_len), pad_id, dtype=input_ids.dtype)
+    seg = np.zeros((R, row_len), dtype=np.int32)
+    pos = np.zeros((R, row_len), dtype=np.int32)
+    pair_index = np.zeros(B, dtype=np.int32)
+    used = np.zeros(R, dtype=np.int64)
+    nseg = np.zeros(R, dtype=np.int64)
+
+    order = np.argsort(-lengths, kind="stable")  # longest first
+    for i in order:
+        n = int(min(lengths[i], row_len))
+        # first row with space for the whole sequence and a free slot;
+        # fallback: the free-slot row with the most space (truncate)
+        candidates = np.flatnonzero((nseg < max_segments) & (used + n <= row_len))
+        if candidates.size:
+            r = int(candidates[0])
+        else:
+            free = np.flatnonzero(nseg < max_segments)
+            r = int(free[np.argmax(row_len - used[free])])
+            n = int(row_len - used[r])
+        start = int(used[r])
+        if n > 0:
+            ids[r, start : start + n] = input_ids[i, :n]
+            seg[r, start : start + n] = nseg[r] + 1
+            pos[r, start : start + n] = np.arange(n, dtype=np.int32)
+        pair_index[i] = r * max_segments + int(nseg[r])
+        used[r] += n
+        nseg[r] += 1
+
+    return {
+        "input_ids": ids,
+        "segment_ids": seg,
+        "position_ids": pos,
+        "pair_index": pair_index,
+    }
+
+
+def packing_efficiency(attention_mask: np.ndarray, row_len: int, max_segments: int) -> float:
+    """Real tokens per packed slot vs per padded slot (>1 = packing wins)."""
+    real = float(attention_mask.sum())
+    B, L = attention_mask.shape
+    R = -(-B // max_segments)
+    return (real / (R * row_len)) / (real / (B * L))

@@ -48,6 +48,20 @@ def cls_pool(hidden, attention_mask):
     return hidden[:, 0]
 
 
+def segment_mean_pool(hidden, segment_ids, max_segments, pair_index):
+    """Per-segment masked mean over packed rows (data/packing.py contract):
+    hidden [R, L, D], segment_ids [R, L] in 0..max_segments (0 = pad),
+    pair_index [B] flat (row * max_segments + seg - 1) gather indices.
+    Returns [B, D]. The one-hot einsum lowers to a single MXU matmul."""
+    onehot = (
+        segment_ids[:, :, None] == jnp.arange(1, max_segments + 1)[None, None, :]
+    ).astype(jnp.float32)  # [R, L, K]
+    sums = jnp.einsum("rlk,rld->rkd", onehot, hidden.astype(jnp.float32))
+    counts = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)[..., None]  # [R, K, 1]
+    means = (sums / counts).reshape(-1, hidden.shape[-1])  # [R*K, D]
+    return means[pair_index].astype(hidden.dtype)
+
+
 class LogitScale(nn.Module):
     """exp-parameterized temperature (reference modeling_biencoder.py:30-41)."""
 
@@ -84,18 +98,29 @@ class BiEncoder(nn.Module):
         attention_mask: Optional[jnp.ndarray] = None,
         pixel_values: Optional[jnp.ndarray] = None,
         token_type_ids: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
+        position_ids: Optional[jnp.ndarray] = None,
+        pair_index: Optional[jnp.ndarray] = None,
+        max_segments: Optional[int] = None,
         normalize: bool = True,
         binarize: bool = False,
         deterministic: bool = True,
     ) -> Dict[str, Any]:
+        """Packed mode (encoder trunks, mean pooling): pass the
+        data/packing.py quadruple (segment_ids/position_ids/pair_index +
+        static max_segments); attention stays within segments and pooling
+        is per segment, returning one embedding per original sequence."""
         cfg = self.config
+        packed = segment_ids is not None and pair_index is not None
         if self.trunk_type == "encoder":
             trunk_out = NomicBertModel(
                 config=cfg, dtype=self.dtype, add_pooling_layer=False, remat=self.remat, name="trunk"
             )(
                 input_ids,
                 attention_mask=attention_mask,
+                position_ids=position_ids,
                 token_type_ids=token_type_ids,
+                segment_ids=segment_ids,
                 deterministic=deterministic,
             )
         elif self.trunk_type == "decoder":
@@ -116,7 +141,11 @@ class BiEncoder(nn.Module):
 
         router_logits = trunk_out.get("router_logits") or None
 
-        if self.pooling == "mean":
+        if packed:
+            if self.pooling != "mean":
+                raise ValueError("packed mode supports mean pooling only")
+            embedding = segment_mean_pool(hidden, segment_ids, max_segments, pair_index)
+        elif self.pooling == "mean":
             embedding = mean_pool(hidden, attention_mask)
         elif self.pooling == "last":
             embedding = last_token_pool(hidden, attention_mask)

@@ -124,6 +124,11 @@ class BaseTrainer(ABC):
         (params, opt_state, metrics)"""
         ...
 
+    def transform_host_batch(self, host_batch):
+        """Hook: host-side (numpy) batch rewrite before device upload —
+        e.g. sequence packing (data/packing.py). Default: identity."""
+        return host_batch
+
     def eval_loop(self, step: int):  # optional
         return {}
 
@@ -261,6 +266,7 @@ class BaseTrainer(ABC):
                     data_iter = fresh_iter()
                     host_batch = next(data_iter)
 
+                host_batch = self.transform_host_batch(host_batch)
                 meta = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
                 arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
                 batch = shard_batch(arrays, self.mesh)

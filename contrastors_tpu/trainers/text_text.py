@@ -91,6 +91,50 @@ class TextTextTrainer(BaseTrainer):
             steps = ds.num_batches()
         return ds, steps
 
+    # -- sequence packing (TPU-only capability, data/packing.py) --------------
+    def _pack_geometry(self, col: str):
+        dargs = self.config.data_args
+        K = dargs.packed_max_segments
+        max_len = (
+            dargs.query_max_length if col == "query" else dargs.document_max_length
+        ) or dargs.seq_len or 256
+        # default row length: half the padded token budget of K sequences —
+        # right-sized when real lengths average <= max_len / 2
+        L = dargs.packed_seq_len or max(128, (K * max_len) // 2)
+        return L, K
+
+    def transform_host_batch(self, host_batch):
+        if not getattr(self.config.data_args, "packed", False):
+            return host_batch
+        from contrastors_tpu.data.packing import pack_tokenized
+
+        out = dict(host_batch)
+        for col in ("query", "document"):
+            ids = out.pop(f"{col}_input_ids", None)
+            mask = out.pop(f"{col}_attention_mask", None)
+            if ids is None:
+                continue
+            L, K = self._pack_geometry(col)
+            packed = pack_tokenized(ids, mask, row_len=L, max_segments=K,
+                                    pad_id=self.tokenizer.pad_token_id or 0)
+            for k, v in packed.items():
+                out[f"{col}_{k}"] = v
+        return out
+
+    def _encode_packed(self, model_params, batch, col, rng):
+        _, K = self._pack_geometry(col)
+        rngs = {"dropout": rng} if rng is not None else None
+        return self.biencoder.apply(
+            model_params,
+            input_ids=batch[f"{col}_input_ids"],
+            segment_ids=batch[f"{col}_segment_ids"],
+            position_ids=batch[f"{col}_position_ids"],
+            pair_index=batch[f"{col}_pair_index"],
+            max_segments=K,
+            deterministic=rng is None,
+            rngs=rngs,
+        )
+
     # -- loss pieces ----------------------------------------------------------
     def _scale_fn(self, scale_params):
         return lambda x: self.logit_scale.apply(scale_params, x)
@@ -212,10 +256,16 @@ class TextTextTrainer(BaseTrainer):
 
             return train_step
 
+        packed = getattr(self.config.data_args, "packed", False) if self.config.data_args else False
+
         def loss_fn(params, batch, rng):
             rq, rd = jax.random.split(rng)
-            q = self._encode(params["model"], batch["query_input_ids"], batch["query_attention_mask"], rq)
-            d = self._encode(params["model"], batch["document_input_ids"], batch["document_attention_mask"], rd)
+            if packed:
+                q = self._encode_packed(params["model"], batch, "query", rq)
+                d = self._encode_packed(params["model"], batch, "document", rd)
+            else:
+                q = self._encode(params["model"], batch["query_input_ids"], batch["query_attention_mask"], rq)
+                d = self._encode(params["model"], batch["document_input_ids"], batch["document_attention_mask"], rd)
             scale_fn = self._scale_fn(params["logit_scale"])
             metrics = {}
             if matryoshka:

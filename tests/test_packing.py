@@ -1,0 +1,115 @@
+"""Sequence packing: collator geometry + packed-vs-padded model parity
+(beyond-reference capability; data/packing.py contract)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from contrastors_tpu.data.packing import pack_tokenized, packing_efficiency
+from contrastors_tpu.models.biencoder import BiEncoder
+from contrastors_tpu.models.presets import nomic_bert_2048
+
+
+def make_tokenized(rng, B=8, L=64, vocab=250, min_len=5):
+    lengths = rng.integers(min_len, L + 1, size=B)
+    ids = np.zeros((B, L), np.int32)
+    mask = np.zeros((B, L), np.int32)
+    for i, n in enumerate(lengths):
+        ids[i, :n] = rng.integers(5, vocab, size=n)
+        mask[i, :n] = 1
+    return ids, mask
+
+
+def test_pack_tokenized_geometry():
+    rng = np.random.default_rng(0)
+    ids, mask = make_tokenized(rng, B=8, L=64)
+    packed = pack_tokenized(ids, mask, row_len=128, max_segments=4)
+    R = 2  # ceil(8 / 4)
+    assert packed["input_ids"].shape == (R, 128)
+    assert packed["pair_index"].shape == (8,)
+    # flat slots are unique and in range
+    assert len(set(packed["pair_index"].tolist())) == 8
+    assert packed["pair_index"].max() < R * 4
+
+    # every sequence's tokens are recoverable from its slot
+    for i in range(8):
+        flat = int(packed["pair_index"][i])
+        r, s = divmod(flat, 4)
+        sel = packed["segment_ids"][r] == (s + 1)
+        n = int(mask[i].sum())
+        got = packed["input_ids"][r][sel]
+        assert len(got) == n, f"seq {i} truncated unexpectedly"
+        np.testing.assert_array_equal(got, ids[i, :n])
+        # positions restart at 0 within the segment
+        np.testing.assert_array_equal(packed["position_ids"][r][sel], np.arange(n))
+
+    assert packing_efficiency(mask, 128, 4) > 1.0
+
+
+def test_pack_truncates_only_when_overfull():
+    rng = np.random.default_rng(1)
+    B, L = 6, 64
+    ids = np.ones((B, L), np.int32)
+    mask = np.ones((B, L), np.int32)  # all full-length: 6*64 tokens into 2*100
+    packed = pack_tokenized(ids, mask, row_len=100, max_segments=3)
+    # capacity 200 < 384: some truncation, but every slot assigned uniquely
+    assert len(set(packed["pair_index"].tolist())) == B
+    assert (packed["segment_ids"].max(axis=1) <= 3).all()
+
+
+def test_packed_matches_padded_embeddings():
+    """Packed forward == padded forward per pair (rotary flagship geometry,
+    fp32): attention within segments + per-segment mean + restarting
+    positions must reproduce the per-sequence computation exactly."""
+    cfg = nomic_bert_2048(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_inner=128, attn_impl="sdpa"
+    )
+    model = BiEncoder(config=cfg, pooling="mean", dtype=jnp.float32)
+
+    rng = np.random.default_rng(2)
+    ids, mask = make_tokenized(rng, B=8, L=48)
+    params = model.init(jax.random.PRNGKey(0), input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+
+    padded = model.apply(params, input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))[
+        "embedding"
+    ]
+
+    packed = pack_tokenized(ids, mask, row_len=128, max_segments=4)
+    out = model.apply(
+        params,
+        input_ids=jnp.asarray(packed["input_ids"]),
+        segment_ids=jnp.asarray(packed["segment_ids"]),
+        position_ids=jnp.asarray(packed["position_ids"]),
+        pair_index=jnp.asarray(packed["pair_index"]),
+        max_segments=4,
+    )["embedding"]
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(padded), atol=3e-5, rtol=1e-4)
+
+
+def test_packed_matches_padded_absolute_positions():
+    """Same parity for an absolute-position BERT trunk (positions restart
+    per segment through BertEmbeddings)."""
+    from contrastors_tpu.models.presets import bert_base
+
+    cfg = bert_base(
+        vocab_size=256, n_positions=128, n_embd=64, n_layer=2, n_head=4, n_inner=128,
+        attn_impl="sdpa",
+    )
+    model = BiEncoder(config=cfg, pooling="mean", dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids, mask = make_tokenized(rng, B=6, L=32)
+    params = model.init(jax.random.PRNGKey(1), input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    padded = model.apply(params, input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))[
+        "embedding"
+    ]
+    packed = pack_tokenized(ids, mask, row_len=96, max_segments=3)
+    out = model.apply(
+        params,
+        input_ids=jnp.asarray(packed["input_ids"]),
+        segment_ids=jnp.asarray(packed["segment_ids"]),
+        position_ids=jnp.asarray(packed["position_ids"]),
+        pair_index=jnp.asarray(packed["pair_index"]),
+        max_segments=3,
+    )["embedding"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(padded), atol=3e-5, rtol=1e-4)
