@@ -20,6 +20,12 @@ tokens when routing is extremely unbalanced. capacity_factor=2.0 makes this
 rare, and the aux loss drives routing towards balance. A Pallas ragged
 grouped-matmul upgrade can replace the dispatch later without changing this
 module's interface.
+
+expert_choice_router=True switches to expert-choice routing (Zhou et al.
+2022; the reference exposes the knob at config.py:152-203 but megablocks
+only implements token-choice): each expert takes its top-capacity tokens,
+so load is balanced by construction and no token-side top-k or aux loss
+pressure is needed.
 """
 
 from typing import Optional, Tuple
@@ -68,6 +74,24 @@ class MoEMLP(nn.Module):
             router_logits_masked = router_logits
 
         probs = jax.nn.softmax(router_logits, axis=-1)
+
+        if cfg.expert_choice_router:
+            # Expert choice (Zhou et al. 2022; reference exposes the knob at
+            # config.py:152-203): each expert picks its top-C tokens from the
+            # [N, E] score matrix — perfectly balanced by construction, no
+            # token-side top-k. C matches the token-choice capacity budget.
+            capacity = int(max(self.capacity_factor * N * top_k / max(E, 1), 1))
+            capacity = min(capacity, N)
+            scores = jnp.where(valid, probs, 0.0)  # pads score 0
+            g, idx = jax.lax.top_k(scores.T, capacity)  # [E, C] weights / token ids
+            g = g * jnp.take(valid[:, 0].astype(g.dtype), idx)  # drop picked pads
+            expert_in = jnp.take(x, idx.reshape(-1), axis=0).reshape(E, capacity, D)
+            expert_out = self._expert_mlps(expert_in, E, D, F_hid, gated, act)
+            contrib = (expert_out * g[:, :, None].astype(expert_out.dtype)).reshape(-1, D)
+            out = jnp.zeros((N, D), contrib.dtype).at[idx.reshape(-1)].add(contrib)
+            out = self._shared_and_bias(out, x, D, F_hid, num_shared, act, cfg)
+            return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked
+
         top_w, top_e = jax.lax.top_k(probs, top_k)  # [N, k]
         if cfg.moe_normalize_expert_weights:
             top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
@@ -95,6 +119,13 @@ class MoEMLP(nn.Module):
         combine = jnp.sum(combine, axis=1)
 
         expert_in = jnp.einsum("nd,nec->ecd", x, disp)  # [E, C, D]
+        expert_out = self._expert_mlps(expert_in, E, D, F_hid, gated, act)
+        out = jnp.einsum("ecd,nec->nd", expert_out, combine)
+        out = self._shared_and_bias(out, x, D, F_hid, num_shared, act, cfg)
+        return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked
+
+    def _expert_mlps(self, expert_in, E, D, F_hid, gated, act):
+        cfg = self.config
 
         def expert_param(name, shape):
             return self.param(
@@ -108,15 +139,13 @@ class MoEMLP(nn.Module):
             h = jnp.einsum("ecd,edf->ecf", expert_in, w_up) * act(
                 jnp.einsum("ecd,edf->ecf", expert_in, w_gate)
             )
-            expert_out = jnp.einsum("ecf,efd->ecd", h, w_down)
-        else:
-            w_in = expert_param("w_in", (E, D, F_hid))
-            w_down = expert_param("w_down", (E, F_hid, D))
-            h = act(jnp.einsum("ecd,edf->ecf", expert_in, w_in))
-            expert_out = jnp.einsum("ecf,efd->ecd", h, w_down)
+            return jnp.einsum("ecf,efd->ecd", h, w_down)
+        w_in = expert_param("w_in", (E, D, F_hid))
+        w_down = expert_param("w_down", (E, F_hid, D))
+        h = act(jnp.einsum("ecd,edf->ecf", expert_in, w_in))
+        return jnp.einsum("ecf,efd->ecd", h, w_down)
 
-        out = jnp.einsum("ecd,nec->nd", expert_out, combine)
-
+    def _shared_and_bias(self, out, x, D, F_hid, num_shared, act, cfg):
         if num_shared > 0:
             shared_hid = F_hid * num_shared
             y = nn.Dense(shared_hid, use_bias=False, dtype=self.dtype, name="shared_up")(x)
@@ -127,5 +156,4 @@ class MoEMLP(nn.Module):
             out = shared * frac_shared + out * (1.0 - frac_shared)
 
         bias = self.param("bias", nn.initializers.zeros, (D,), jnp.float32)
-        out = out + bias.astype(out.dtype)
-        return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked
+        return out + bias.astype(out.dtype)
