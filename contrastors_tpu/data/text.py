@@ -56,6 +56,27 @@ def expand_urls(pattern: str) -> List[str]:
     return out
 
 
+class ShardReadError(RuntimeError):
+    """A shard read failed irrecoverably (truncated gzip, IO error); the
+    iterator drops the shard and keeps training (reference log-and-continue
+    semantics, text_text_loader.py:532-536)."""
+
+
+def validate_eos_placement(input_ids: np.ndarray, attention_mask: np.ndarray, eos_id: int):
+    """Host-side check that every sequence's final non-pad token is EOS —
+    required for LastTokenPooling. The reference raises inside the model
+    forward (modeling_biencoder.py:63-76); value-dependent raises can't live
+    under jit, so the check runs here in the data pipeline."""
+    lengths = attention_mask.sum(axis=1)
+    last = input_ids[np.arange(len(input_ids)), np.maximum(lengths - 1, 0)]
+    bad = np.flatnonzero((last != eos_id) & (lengths > 0))
+    if bad.size:
+        raise ValueError(
+            f"sequences {bad[:8].tolist()} do not end in EOS ({eos_id}); "
+            f"got trailing tokens {last[bad[:8]].tolist()} — check tokenizer/add_eos"
+        )
+
+
 class TokenizeCollator:
     """Prefix + tokenize + EOS-pin one homogeneous rank batch into numpy
     arrays (reference text_text_loader.py:601-660)."""
@@ -104,10 +125,14 @@ class TokenizeCollator:
                 return_tensors="np",
             )
             ids = enc["input_ids"].astype(np.int32)
+            mask = enc["attention_mask"].astype(np.int32)
             if self.add_eos:
                 ids[:, -1] = self.tokenizer.eos_token_id
+                # truncated rows had their last slot overwritten with EOS;
+                # shorter rows got EOS from the appended text — verify both
+                validate_eos_placement(ids, mask, self.tokenizer.eos_token_id)
             out[f"{col}_input_ids"] = ids
-            out[f"{col}_attention_mask"] = enc["attention_mask"].astype(np.int32)
+            out[f"{col}_attention_mask"] = mask
         if "kd_scores" in samples[0]:
             out["kd_scores"] = np.asarray([s["kd_scores"] for s in samples], dtype=np.float32)
         return out
@@ -254,18 +279,24 @@ class StreamingShardDataset:
         return "/".join(parts[-4:]) if len(parts) >= 6 else "/".join(parts[-3:])
 
     # -- cursor ------------------------------------------------------------
+    # The cursor lives in memory and is flushed to disk only on save_state
+    # (exact-resume snapshot) — the reference rewrote the JSON every batch
+    # (text_text_loader.py:471-499), which was the slowest host-side residue
+    # once the C++ data plane landed (round-1 Weak #10).
     def _write_cursor(self, d: Dict[str, int]):
-        with open(self.cursor_path, "w") as f:
-            json.dump(d, f, indent=1)
+        self._cursor = dict(d)
 
     def _read_cursor(self) -> Dict[str, int]:
-        with open(self.cursor_path) as f:
-            return json.load(f)
+        return self._cursor
+
+    def _flush_cursor(self, path: str):
+        with open(path, "w") as f:
+            json.dump(self._cursor, f, indent=1)
 
     def save_state(self, ckpt_dir: str):
         os.makedirs(ckpt_dir, exist_ok=True)
-        with open(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json"), "w") as f:
-            json.dump(self._read_cursor(), f, indent=1)
+        self._flush_cursor(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json"))
+        self._flush_cursor(self.cursor_path)  # debug mirror
 
     def load_state(self, ckpt_dir: str):
         with open(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json")) as f:
@@ -303,19 +334,45 @@ class StreamingShardDataset:
         """Read rank_batch_size records at global offset
         already*world + rank*rank_batch; offsets index the decompressed
         stream (text_text_loader.py:471-499). The stream is kept open so
-        same-shard reads are sequential."""
+        same-shard reads are sequential.
+
+        Fault tolerance (reference text_text_loader.py:410-413, 532-536):
+        corrupt records are skipped with a warning and the batch refilled by
+        duplicating good records (static batch shapes must hold); stream
+        errors raise ShardReadError, which __iter__ turns into dropping the
+        shard instead of killing a multi-day run."""
         offsets = self.path2offsets[url]
         start_row = already * self.world_size + self.rank * self.rank_batch_size
         first = offsets[str(start_row)][0]
         last = offsets[str(start_row + self.rank_batch_size - 1)][1]
-        stream = self._get_stream(url)
-        if stream.tell() != first:
-            stream.seek(first)
-        blob = stream.read(last - first)
+        try:
+            stream = self._get_stream(url)
+            if stream.tell() != first:
+                stream.seek(first)
+            blob = stream.read(last - first)
+        except Exception as e:  # noqa: BLE001 — truncated gzip, IO error, ...
+            self._streams.pop(url, None)  # stream state is unknown; reopen next time
+            raise ShardReadError(f"stream error in {url} @ row {start_row}: {e}") from e
+        if len(blob) < last - first:
+            self._streams.pop(url, None)
+            raise ShardReadError(
+                f"short read in {url} @ row {start_row}: got {len(blob)} of {last - first} bytes"
+            )
         records = []
+        bad = 0
         for i in range(start_row, start_row + self.rank_batch_size):
             s, e = offsets[str(i)]
-            records.append(json.loads(blob[s - first : e - first].decode()))
+            try:
+                records.append(json.loads(blob[s - first : e - first].decode()))
+            except Exception as exc:  # noqa: BLE001 — corrupt line: skip + log
+                bad += 1
+                print(f"[data] skipping corrupt record {i} in {url}: {exc}", flush=True)
+        if not records:
+            raise ShardReadError(f"all {self.rank_batch_size} records corrupt in {url} @ {start_row}")
+        if bad:
+            fill = self.rng.choices(records, k=bad)
+            print(f"[data] refilled {bad} corrupt records in {url} by duplication", flush=True)
+            records = records + fill
         return records
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
@@ -332,7 +389,12 @@ class StreamingShardDataset:
 
                 cursor = self._read_cursor()
                 already = cursor[url]
-                records = self._read_rank_batch(url, already)
+                try:
+                    records = self._read_rank_batch(url, already)
+                except ShardReadError as e:
+                    print(f"[data] dropping shard after read failure: {e}", flush=True)
+                    self.current_paths.remove(url)
+                    continue
                 cursor[url] = already + self.rank_batch_size
                 self._write_cursor(cursor)
                 if cursor[url] >= self.max_per_shard[url]:

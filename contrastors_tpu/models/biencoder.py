@@ -37,9 +37,9 @@ def mean_pool(hidden, attention_mask):
 
 def last_token_pool(hidden, attention_mask):
     """Embedding of the final (EOS) token (reference
-    modeling_biencoder.py:52-76; EOS-placement validation is a host-side
-    data-pipeline check in this framework — data/collate.py — because
-    value-dependent raises can't live under jit)."""
+    modeling_biencoder.py:52-76). EOS-placement validation is host-side in
+    this framework — data/text.py validate_eos_placement, called by
+    TokenizeCollator — because value-dependent raises can't live under jit."""
     lengths = jnp.sum(attention_mask, axis=-1) - 1
     return jnp.take_along_axis(hidden, lengths[:, None, None].astype(jnp.int32), axis=1)[:, 0]
 

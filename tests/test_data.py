@@ -150,3 +150,86 @@ def test_local_jsonl_dataset(tmp_path):
     # 1 positive + 2 negatives per query -> documents 3x the queries
     assert batches[0]["document_input_ids"].shape[0] == 12
     assert batches[0]["query_input_ids"].shape[0] == 4
+
+
+def test_corrupt_record_skipped_and_refilled(tmp_path):
+    """A corrupt JSON line must not kill the run: it is skipped, logged, and
+    the batch refilled by duplication (reference text_text_loader.py:532-536
+    log-and-continue semantics)."""
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path, n_shards=1, rows_per_shard=16)
+
+    # corrupt row 3 in place, preserving byte length so offsets stay valid
+    bucket = tmp_path / "data" / "pairs"
+    shard = bucket / "shard-00000.jsonl.gz"
+    lines = gzip.open(shard, "rt").read().splitlines(keepends=True)
+    lines[3] = "x" * (len(lines[3]) - 1) + "\n"
+    with gzip.open(shard, "wt") as f:
+        f.write("".join(lines))
+
+    ds = StreamingShardDataset(
+        spec, global_batch_size=8, tokenizer=tok, seed=7,
+        process_index=0, process_count=1, state_dir=str(tmp_path / "st"),
+    )
+    batches = list(iter(ds))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["query_input_ids"].shape[0] == 8  # batch shape preserved
+
+
+def test_truncated_shard_dropped_run_continues(tmp_path):
+    """A truncated gzip shard is dropped with a warning; remaining shards
+    keep serving batches."""
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path, n_shards=2, rows_per_shard=32)
+
+    shard = tmp_path / "data" / "pairs" / "shard-00001.jsonl.gz"
+    raw = shard.read_bytes()
+    shard.write_bytes(raw[: len(raw) // 4])  # truncate the compressed stream
+
+    ds = StreamingShardDataset(
+        spec, global_batch_size=8, tokenizer=tok, seed=7,
+        process_index=0, process_count=1, state_dir=str(tmp_path / "st"),
+    )
+    batches = list(iter(ds))
+    # the good shard's 4 batches survive; some/all of the bad one is dropped
+    assert len(batches) >= 4
+    for b in batches:
+        assert b["query_input_ids"].shape[0] == 8
+
+
+def test_cursor_in_memory_until_save(tmp_path):
+    """The cursor file is written on save_state, not per batch (round-1
+    Weak #10), and stays resume-exact."""
+    import os as _os
+
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path, n_shards=1, rows_per_shard=32)
+    ds = StreamingShardDataset(
+        spec, global_batch_size=8, tokenizer=tok, seed=7,
+        process_index=0, process_count=1, state_dir=str(tmp_path / "st"),
+    )
+    it = iter(ds)
+    next(it), next(it)
+    assert not _os.path.exists(ds.cursor_path), "cursor flushed per-batch"
+    ckpt = tmp_path / "ck"
+    ds.save_state(str(ckpt))
+    assert _os.path.exists(ds.cursor_path)
+    with open(ckpt / "rank_0_processed.json") as f:
+        saved = json.load(f)
+    assert sum(saved.values()) == 16
+
+
+def test_eos_validation_raises_on_bad_placement(tmp_path):
+    import numpy as np
+    import pytest as _pytest
+
+    from contrastors_tpu.data.text import validate_eos_placement
+
+    ids = np.array([[5, 6, 9, 0], [5, 9, 0, 0]], np.int32)
+    mask = np.array([[1, 1, 1, 0], [1, 1, 0, 0]], np.int32)
+    validate_eos_placement(ids, mask, eos_id=9)  # ok
+    ids_bad = ids.copy()
+    ids_bad[0, 2] = 7
+    with _pytest.raises(ValueError, match="do not end in EOS"):
+        validate_eos_placement(ids_bad, mask, eos_id=9)
