@@ -120,11 +120,16 @@ class GlueTrainer(BaseTrainer):
 
         ds = load_from_disk(dargs.tokenized_dataset)
         self._val = None
+        self._val_splits = []  # [(metric suffix, split)] — MNLI has two
         if hasattr(ds, "keys"):
             for split in ("validation", "validation_matched", "test"):
                 if split in ds:
                     self._val = ds[split]
+                    self._val_splits.append(("", ds[split]))
                     break
+            if "validation_mismatched" in ds:
+                # MNLI reports matched AND mismatched (reference glue.py:175-231)
+                self._val_splits.append(("_mm", ds["validation_mismatched"]))
             ds = ds["train"]
         self._train_ds = ds
         batch = dargs.batch_size
@@ -195,13 +200,28 @@ class GlueTrainer(BaseTrainer):
                 deterministic=True,
             )["logits"]
 
-        preds, labels = [], []
-        n = len(self._val) // batch
-        for i in range(n):
-            rows = self._val[list(range(i * batch, (i + 1) * batch))]
-            b = self._encode(rows)
-            lg = np.asarray(logits_fn(self.params, {k: jnp.asarray(v) for k, v in b.items() if k != "labels"}))
-            preds.append(lg.squeeze(-1) if self._task == "stsb" else lg.argmax(-1))
-            labels.append(b["labels"])
-        metrics = glue_metrics(self._task, np.concatenate(preds), np.concatenate(labels))
-        return {f"glue_{self._task}/{k}": v for k, v in metrics.items()}
+        def eval_split(split):
+            """Every example exactly once: the trailing partial batch is
+            padded to the jit shape and its extra rows dropped from the
+            metric (the reference dedups the last batch across ranks,
+            glue.py:175-231; round 1 silently skipped it)."""
+            preds, labels = [], []
+            n = len(split)
+            for start in range(0, n, batch):
+                idx = list(range(start, min(start + batch, n)))
+                real = len(idx)
+                if real < batch:  # pad to the compiled batch shape
+                    idx = idx + [idx[-1]] * (batch - real)
+                b = self._encode(split[idx])
+                lg = np.asarray(
+                    logits_fn(self.params, {k: jnp.asarray(v) for k, v in b.items() if k != "labels"})
+                )[:real]
+                preds.append(lg.squeeze(-1) if self._task == "stsb" else lg.argmax(-1))
+                labels.append(b["labels"][:real])
+            return glue_metrics(self._task, np.concatenate(preds), np.concatenate(labels))
+
+        out = {}
+        for suffix, split in self._val_splits:
+            for k, v in eval_split(split).items():
+                out[f"glue_{self._task}{suffix}/{k}"] = v
+        return out

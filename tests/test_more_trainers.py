@@ -275,3 +275,65 @@ def test_profile_flag_writes_trace(tmp_path):
     assert os.path.isdir(trace_dir)
     files = [f for _, _, fs in os.walk(trace_dir) for f in fs]
     assert files, "profiler produced no trace files"
+
+
+def test_glue_mnli_both_splits_and_partial_batch(tmp_path):
+    """MNLI reports matched AND mismatched metrics; eval covers every
+    example exactly once including the trailing partial batch
+    (reference glue.py:175-231; round-1 Weak #5)."""
+    ckpt = make_checkpoint_dir(tmp_path)
+    from datasets import Dataset, DatasetDict
+
+    n = 19  # deliberately not a multiple of the eval batch
+    prem = [f"word{i % 20} word{(i * 5) % 20}" for i in range(n)]
+    hyp = [f"word{(i * 7) % 20}" for i in range(n)]
+    labels = [i % 3 for i in range(n)]
+    split = lambda k: Dataset.from_dict({"premise": prem, "hypothesis": hyp, "label": labels})
+    dd = DatasetDict(
+        {
+            "train": Dataset.from_dict(
+                {"premise": prem * 2, "hypothesis": hyp * 2, "label": labels * 2}
+            ),
+            "validation_matched": split("m"),
+            "validation_mismatched": split("mm"),
+        }
+    )
+    data = str(tmp_path / "mnli")
+    dd.save_to_disk(data)
+
+    cfg = Config(
+        train_args=_train_args(str(tmp_path / "run_mnli")),
+        data_args=dict(
+            tokenized_dataset=data, task_name="mnli",
+            batch_size=8, eval_batch_size=8, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(
+            model_type="glue", model_name=ckpt, pretrained=True, seq_len=16, attn_impl="sdpa"
+        ),
+    )
+    trainer = TRAINER_REGISTRY["glue"](cfg, "fp32")
+    metrics = trainer.eval_loop(0)
+    assert "glue_mnli/accuracy" in metrics
+    assert "glue_mnli_mm/accuracy" in metrics
+
+    # coverage check: identical splits -> identical metrics (19 = 2*8 + 3,
+    # so the partial batch must be included for this to hold exactly)
+    assert metrics["glue_mnli/accuracy"] == metrics["glue_mnli_mm/accuracy"]
+
+    # and the value matches a from-scratch full-split computation
+    import jax.numpy as jnp
+    b = trainer._encode(dd["validation_matched"][list(range(n))])
+    # pad to the compiled batch of 8 in chunks manually
+    preds = []
+    for start in range(0, n, 8):
+        idx = list(range(start, min(start + 8, n)))
+        real = len(idx)
+        bb = trainer._encode(dd["validation_matched"][idx + [idx[-1]] * (8 - real)])
+        lg = trainer.model.apply(
+            trainer.params, jnp.asarray(bb["input_ids"]),
+            attention_mask=jnp.asarray(bb["attention_mask"]),
+            token_type_ids=jnp.asarray(bb["token_type_ids"]), deterministic=True,
+        )["logits"]
+        preds.append(np.asarray(lg).argmax(-1)[:real])
+    expect = float((np.concatenate(preds) == np.asarray(labels)).mean())
+    assert abs(metrics["glue_mnli/accuracy"] - expect) < 1e-9
