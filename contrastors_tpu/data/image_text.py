@@ -102,6 +102,7 @@ class ImageTextDataset:
         shared_epoch: Optional[SharedEpoch] = None,
         mean=None,
         std=None,
+        mlm_prob: Optional[float] = None,
     ):
         self.urls = expand_urls(shards)
         self.rank = process_index
@@ -114,6 +115,8 @@ class ImageTextDataset:
         self.shuffle_buffer = shuffle_buffer if is_train else 0
         self.is_train = is_train
         self.precomputed_text = precomputed_text
+        self.mlm_prob = mlm_prob
+        self._mlm_rng = np.random.default_rng(seed + 17)
         self.shared_epoch = shared_epoch or SharedEpoch(0)
         kw = {}
         if mean is not None:
@@ -199,6 +202,23 @@ class ImageTextDataset:
             )
             out["input_ids"] = enc["input_ids"].astype(np.int32)
             out["attention_mask"] = enc["attention_mask"].astype(np.int32)
+            if self.mlm_prob:
+                # caption-MLM branch for the multimodal-MLM vision recipe
+                # (reference image_text_loader.py:337-348): an extra masked
+                # view of the captions rides along with the CLIP batch
+                from contrastors_tpu.trainers.mlm import mlm_mask
+
+                special = set(self.tokenizer.all_special_ids)
+                mlm_ids, mlm_labels = mlm_mask(
+                    out["input_ids"],
+                    self.mlm_prob,
+                    self.tokenizer.mask_token_id,
+                    len(self.tokenizer),
+                    special,
+                    self._mlm_rng,
+                )
+                out["mlm_input_ids"] = mlm_ids.astype(np.int32)
+                out["mlm_labels"] = mlm_labels.astype(np.int32)
         return out
 
 

@@ -86,3 +86,71 @@ class DecoderForSequenceClassification(nn.Module):
             gold = jnp.take_along_axis(lg, labels[:, None], axis=-1)[:, 0]
             out["loss"] = jnp.mean(logz - gold)
         return out
+
+
+class DecoderForTokenClassification(nn.Module):
+    """Per-token classifier (reference flash_pythia.py TokenClassification
+    head, :777-1235): dropout + linear over every position; -100 labels
+    ignored."""
+
+    config: TrunkConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        labels: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        hidden = DecoderModel(config=cfg, dtype=self.dtype, name="model")(
+            input_ids, attention_mask=attention_mask, deterministic=deterministic
+        )["last_hidden_state"]
+        p_drop = cfg.classifier_dropout if cfg.classifier_dropout is not None else cfg.resid_pdrop
+        if p_drop > 0.0 and not deterministic:
+            hidden = nn.Dropout(rate=p_drop, name="dropout")(hidden, deterministic=False)
+        logits = nn.Dense(cfg.num_labels, dtype=self.dtype, name="classifier")(hidden)
+        out: Dict[str, Any] = {"logits": logits}
+        if labels is not None:
+            out["loss"] = masked_cross_entropy(logits, labels)
+        return out
+
+
+class DecoderForQuestionAnswering(nn.Module):
+    """Extractive QA head (reference flash_pythia.py QuestionAnswering head):
+    linear -> (start, end) logits; CE against clamped span positions."""
+
+    config: TrunkConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        start_positions: Optional[jnp.ndarray] = None,
+        end_positions: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        hidden = DecoderModel(config=cfg, dtype=self.dtype, name="model")(
+            input_ids, attention_mask=attention_mask, deterministic=deterministic
+        )["last_hidden_state"]
+        logits = nn.Dense(2, dtype=self.dtype, name="qa_outputs")(hidden)
+        start_logits, end_logits = logits[..., 0], logits[..., 1]
+
+        out: Dict[str, Any] = {"start_logits": start_logits, "end_logits": end_logits}
+        if start_positions is not None and end_positions is not None:
+            S = hidden.shape[1]
+
+            def span_ce(lg, pos):
+                pos = jnp.clip(pos.reshape(-1), 0, S - 1)  # HF clamps to seq len
+                lg = lg.astype(jnp.float32)
+                logz = jax.nn.logsumexp(lg, axis=-1)
+                gold = jnp.take_along_axis(lg, pos[:, None], axis=-1)[:, 0]
+                return jnp.mean(logz - gold)
+
+            out["loss"] = 0.5 * (span_ce(start_logits, start_positions) + span_ce(end_logits, end_positions))
+        return out

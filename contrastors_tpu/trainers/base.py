@@ -258,6 +258,7 @@ class BaseTrainer(ABC):
             return it
 
         data_iter = fresh_iter()
+        lang_losses: dict = {}  # per-language device scalars since last log
         with self.mesh:
             while self.step < self.total_steps:
                 try:
@@ -278,6 +279,11 @@ class BaseTrainer(ABC):
                 self.step += 1
                 # host batch is the per-process slice; examples/sec is global
                 examples += next(iter(arrays.values())).shape[0] * jax.process_count()
+                if meta.get("lang"):
+                    # per-language running mean (reference mmlm.py:145-160):
+                    # keep the unfetched device scalars; one stacked transfer
+                    # happens at log time, so no per-step sync
+                    lang_losses.setdefault(meta["lang"], []).append(metrics["loss"])
                 if self.ema_params is not None:
                     self.ema_params = self._ema_update(self.ema_params, self.params)
 
@@ -290,8 +296,9 @@ class BaseTrainer(ABC):
                         ds = meta["dataset_name"]
                         if "accuracy" in metrics:
                             metrics[f"accuracy/{ds}"] = metrics.pop("accuracy")
-                    if meta.get("lang"):  # per-language MLM loss (mmlm)
-                        metrics[f"loss/{meta['lang']}"] = metrics.get("loss")
+                    for lang, vals in lang_losses.items():
+                        metrics[f"loss/{lang}"] = float(jnp.mean(jnp.stack(vals)))
+                    lang_losses.clear()
                     self.tracker.log(metrics, self.step)
                     last_log = now
                     examples = 0

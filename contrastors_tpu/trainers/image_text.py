@@ -93,6 +93,7 @@ class ImageTextTrainer(BaseTrainer):
             shared_epoch=self.shared_epoch,
             mean=mean,
             std=std,
+            mlm_prob=getattr(dargs, "mlm_prob", None),
         )
         steps = ds.num_batches or (dargs.train_num_samples or 10**9) // dargs.batch_size
         return ds, steps

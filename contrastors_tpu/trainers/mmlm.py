@@ -93,14 +93,3 @@ class MMLMTrainer(MLMTrainer):
 
         return _Loader(), steps
 
-    def make_train_step(self):
-        inner = super().make_train_step()
-
-        def train_step(params, opt_state, batch, rng):
-            return inner(params, opt_state, batch, rng)
-
-        return train_step
-
-    def train(self):
-        # per-language loss tracking rides on the tracker via dataset_name
-        return super().train()

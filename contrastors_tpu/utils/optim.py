@@ -41,7 +41,12 @@ def make_schedule(
 ):
     """linear / cosine / constant(_with_warmup) / inverse_sqrt — the HF
     get_scheduler family the reference recipes use."""
-    warmup = optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1))
+    # HF warmup: lr * (step+1)/warmup — the first applied step is
+    # lr/warmup_steps, NOT 0 (a 0-lr first step is a wasted optimizer step;
+    # round-1 Weak #8)
+    warmup = optax.linear_schedule(
+        learning_rate / max(warmup_steps, 1), learning_rate, max(warmup_steps, 1)
+    )
     rest = max(total_steps - warmup_steps, 1)
     if schedule_type == "linear":
         main = optax.linear_schedule(learning_rate, 0.0, rest)

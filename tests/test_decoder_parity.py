@@ -2,6 +2,7 @@
 and Llama (GQA, swiglu, RMSNorm) — randomly initialized, fp32
 (mirrors reference tests/test_flash_gptneox.py, test_flash_llama.py)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import torch
@@ -189,3 +190,42 @@ def test_open_lm_remap_and_rotary_head_dim():
     out_std = DecoderModel(config=cfg.replace(rotary_head_dim=False)).apply(params, ids)["last_hidden_state"]
     assert np.isfinite(np.asarray(out_quirk)).all()
     assert np.abs(np.asarray(out_quirk) - np.asarray(out_std)).max() > 1e-4
+
+
+def test_decoder_token_classification_and_qa_heads():
+    """TokenClassification + QuestionAnswering decoder heads (reference
+    flash_pythia.py:777-1235): finite losses, grads flow, shapes right."""
+    import dataclasses
+
+    from contrastors_tpu.models.decoder_heads import (
+        DecoderForQuestionAnswering,
+        DecoderForTokenClassification,
+    )
+    from contrastors_tpu.models.model_config import TrunkConfig
+
+    cfg = TrunkConfig(
+        n_embd=64, n_layer=2, n_head=4, n_inner=128, vocab_size=128,
+        n_positions=0, rotary_emb_fraction=0.25, pad_token_id=0, causal=True,
+        num_labels=5, attn_impl="sdpa",
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(5, 120, size=(2, 16)), jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    tok = DecoderForTokenClassification(config=cfg)
+    labels = jnp.asarray(rng.integers(0, 5, size=(2, 16)), jnp.int32)
+    labels = labels.at[:, -3:].set(-100)
+    params = tok.init(jax.random.PRNGKey(0), ids, mask, labels=labels)
+    out = tok.apply(params, ids, mask, labels=labels)
+    assert out["logits"].shape == (2, 16, 5)
+    assert np.isfinite(float(out["loss"]))
+    g = jax.grad(lambda p: tok.apply(p, ids, mask, labels=labels)["loss"])(params)
+    assert np.abs(np.asarray(g["params"]["classifier"]["kernel"])).max() > 0
+
+    qa = DecoderForQuestionAnswering(config=cfg)
+    sp = jnp.asarray([2, 100], jnp.int32)  # 100 > seqlen: must clamp, not crash
+    ep = jnp.asarray([5, 7], jnp.int32)
+    qparams = qa.init(jax.random.PRNGKey(1), ids, mask, start_positions=sp, end_positions=ep)
+    qout = qa.apply(qparams, ids, mask, start_positions=sp, end_positions=ep)
+    assert qout["start_logits"].shape == (2, 16)
+    assert np.isfinite(float(qout["loss"]))

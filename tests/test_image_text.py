@@ -303,3 +303,24 @@ def test_unlocked_clip_trainer(tmp_path):
     # unlocked: text tower must actually receive updates
     after = np.asarray(trainer.params["params"]["text"]["trunk"]["emb_ln"]["weight"])
     assert not np.allclose(before, after)
+
+
+def test_caption_mlm_collator(tmp_path):
+    """mlm_prob on the image-text dataset adds a masked caption view
+    (reference image_text_loader.py:337-348 mmlm vision branch)."""
+    from test_data import make_tokenizer
+
+    tok = make_tokenizer(tmp_path)
+    pattern = make_tar_shards(tmp_path, n_shards=1, per_shard=16)
+    ds = ImageTextDataset(
+        pattern, global_batch_size=8, tokenizer=tok, image_size=32, seq_len=12,
+        train_num_samples=16, shuffle_buffer=0, mlm_prob=0.5,
+    )
+    b = next(iter(ds))
+    assert b["mlm_input_ids"].shape == b["input_ids"].shape
+    assert b["mlm_labels"].shape == b["input_ids"].shape
+    masked = b["mlm_labels"] != -100
+    assert masked.any(), "nothing was masked at prob 0.5"
+    # unmasked positions keep their tokens; masked labels store originals
+    np.testing.assert_array_equal(b["mlm_input_ids"][~masked], b["input_ids"][~masked])
+    np.testing.assert_array_equal(b["mlm_labels"][masked], b["input_ids"][masked])

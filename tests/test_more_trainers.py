@@ -337,3 +337,17 @@ def test_glue_mnli_both_splits_and_partial_batch(tmp_path):
         preds.append(np.asarray(lg).argmax(-1)[:real])
     expect = float((np.concatenate(preds) == np.asarray(labels)).mean())
     assert abs(metrics["glue_mnli/accuracy"] - expect) < 1e-9
+
+
+def test_warmup_first_step_nonzero():
+    """HF warmup semantics: lr at step 0 is lr/warmup_steps, not 0
+    (round-1 Weak #8 — a 0-lr first optimizer step is a no-op)."""
+    from contrastors_tpu.utils.optim import make_schedule
+
+    sched = make_schedule("cosine", 1e-3, total_steps=100, warmup_steps=10)
+    assert float(sched(0)) > 0.0
+    assert abs(float(sched(0)) - 1e-4) < 1e-9
+    assert abs(float(sched(10)) - 1e-3) < 1e-9
+    # linear too
+    lin = make_schedule("linear", 2e-3, total_steps=100, warmup_steps=4)
+    assert abs(float(lin(0)) - 5e-4) < 1e-9
