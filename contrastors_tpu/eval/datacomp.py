@@ -1,12 +1,15 @@
 """DataComp-style evaluation suite over local webdataset shards.
 
 Counterpart of the reference's datacomp harness (reference:
-eval/datacomp/{evaluate,wds_eval,retr_eval,aggregate_scores}.py — 38 tasks
-via the clip_benchmark package, absent from this image). The two task
-shapes the suite reduces to are implemented natively:
+eval/datacomp/{evaluate,wds_eval,retr_eval,fairness_eval,wilds_eval,
+aggregate_scores}.py — 38 tasks via the clip_benchmark/wilds packages,
+absent from this image). The three task shapes the suite reduces to are
+implemented natively:
 
   * zero-shot classification: tar shards of (image, cls-label json) pairs
     + a classnames list -> prompt-ensembled accuracy;
+  * grouped zero-shot (fairness/WILDS): shards whose json also carries a
+    group value -> per-group, worst-group top-1 + mean per-class recall;
   * image-text retrieval: tar shards of (image, caption) pairs ->
     recall@{1,5,10} both directions (eval/image_text_retrieval.py).
 
@@ -37,9 +40,7 @@ from contrastors_tpu.eval.metrics import topk_accuracy
 from contrastors_tpu.eval.zero_shot import zeroshot_classifier_weights
 
 
-def iter_wds_classification(shards: str, image_size: int = 224):
-    """Yields (chw image, int label) from tar shards whose .json member has
-    a 'label' (or .cls text member)."""
+def _iter_wds(shards: str, image_size: int, group_key: str = None):
     transform = image_transform(image_size, is_train=False)
     for url in expand_urls(shards):
         with tarfile.open(url, "r") as tf:
@@ -50,7 +51,7 @@ def iter_wds_classification(shards: str, image_size: int = 224):
                 base, ext = os.path.splitext(member.name)
                 if current is not None and base != current and "image" in sample:
                     if "label" in sample:
-                        yield sample["image"], sample["label"]
+                        yield sample["image"], sample["label"], sample.get("group")
                     sample = {}
                 current = base
                 data = tf.extractfile(member).read()
@@ -67,8 +68,17 @@ def iter_wds_classification(shards: str, image_size: int = 224):
                     meta = json.loads(data)
                     if "label" in meta:
                         sample["label"] = int(meta["label"])
+                    if group_key and group_key in meta:
+                        sample["group"] = meta[group_key]
             if "image" in sample and "label" in sample:
-                yield sample["image"], sample["label"]
+                yield sample["image"], sample["label"], sample.get("group")
+
+
+def iter_wds_classification(shards: str, image_size: int = 224):
+    """Yields (chw image, int label) from tar shards whose .json member has
+    a 'label' (or .cls text member)."""
+    for img, label, _ in _iter_wds(shards, image_size):
+        yield img, label
 
 
 def zeroshot_classification_task(
@@ -95,6 +105,63 @@ def zeroshot_classification_task(
         labels.extend(b[1] for b in batch)
     acc = topk_accuracy(np.concatenate(logits), np.asarray(labels), ks=(1, 5))
     return {"acc1": acc[1], "acc5": acc[5]}
+
+
+def grouped_zeroshot_task(
+    encode_image: Callable[[np.ndarray], np.ndarray],
+    encode_text: Callable[[List[str]], np.ndarray],
+    shards: str,
+    classnames: List[str],
+    group_key: str = "group",
+    image_size: int = 224,
+    batch_size: int = 64,
+) -> Dict[str, float]:
+    """Fairness / WILDS-style grouped zero-shot classification
+    (reference eval/datacomp/fairness_eval.py DollarStreet income groups,
+    GeoDE regions; wilds_eval.py worst-group metrics). Shards carry a
+    group value in their .json metadata (group_key). Reports overall and
+    per-group top-1, the worst-group top-1 (the WILDS headline), and mean
+    per-class recall (the reference's fairness main_metric)."""
+    weights = zeroshot_classifier_weights(encode_text, classnames)
+
+    preds, labels, groups = [], [], []
+    batch = []
+
+    def flush():
+        if not batch:
+            return
+        embs = np.asarray(encode_image(np.stack([b[0] for b in batch])))
+        preds.extend((embs @ weights.T).argmax(-1).tolist())
+        labels.extend(b[1] for b in batch)
+        groups.extend(b[2] for b in batch)
+        batch.clear()
+
+    for img, label, group in _iter_wds(shards, image_size, group_key=group_key):
+        batch.append((img, label, group))
+        if len(batch) == batch_size:
+            flush()
+    flush()
+
+    preds_a = np.asarray(preds)
+    labels_a = np.asarray(labels)
+    out = {"acc1": float((preds_a == labels_a).mean())}
+
+    # mean per-class recall (fairness main_metric, e.g. DollarStreet/GeoDE)
+    recalls = [
+        float((preds_a[labels_a == c] == c).mean())
+        for c in np.unique(labels_a)
+    ]
+    out["mean_per_class_recall"] = float(np.mean(recalls))
+
+    per_group = {}
+    for g in sorted({g for g in groups if g is not None}, key=str):
+        sel = np.asarray([x == g for x in groups])
+        per_group[str(g)] = float((preds_a[sel] == labels_a[sel]).mean())
+    if per_group:
+        out.update({f"acc1_group_{g}": v for g, v in per_group.items()})
+        out["worst_group_acc1"] = min(per_group.values())
+        out["group_gap_acc1"] = max(per_group.values()) - min(per_group.values())
+    return out
 
 
 def retrieval_task(
@@ -126,6 +193,8 @@ def aggregate(results: Dict[str, Dict[str, float]]) -> Dict[str, float]:
     for name, res in results.items():
         if "acc1" in res:
             by_type.setdefault("zeroshot_acc1", []).append(res["acc1"])
+        if "worst_group_acc1" in res:
+            by_type.setdefault("worst_group_acc1", []).append(res["worst_group_acc1"])
         if "image_to_text_R@1" in res:
             mean_r = np.mean([res["image_to_text_R@1"], res["text_to_image_R@1"]])
             by_type.setdefault("retrieval_R@1", []).append(float(mean_r))
@@ -181,6 +250,11 @@ def main():
             results[task["name"]] = zeroshot_classification_task(
                 encode_image, encode_text, task["shards"], task["classnames"], args.image_size
             )
+        elif task["type"] in ("grouped_zeroshot", "fairness", "wilds"):
+            results[task["name"]] = grouped_zeroshot_task(
+                encode_image, encode_text, task["shards"], task["classnames"],
+                group_key=task.get("group_key", "group"), image_size=args.image_size,
+            )
         elif task["type"] == "retrieval":
             results[task["name"]] = retrieval_task(
                 encode_image, encode_text, task["shards"], args.image_size
@@ -188,7 +262,7 @@ def main():
         else:
             raise SystemExit(
                 f"unknown task type {task['type']!r} for task {task['name']!r}; "
-                "expected 'zeroshot' or 'retrieval'"
+                "expected 'zeroshot', 'grouped_zeroshot'/'fairness'/'wilds', or 'retrieval'"
             )
         print(task["name"], results[task["name"]])
     results["aggregate"] = aggregate(results)

@@ -324,3 +324,50 @@ def test_caption_mlm_collator(tmp_path):
     # unmasked positions keep their tokens; masked labels store originals
     np.testing.assert_array_equal(b["mlm_input_ids"][~masked], b["input_ids"][~masked])
     np.testing.assert_array_equal(b["mlm_labels"][masked], b["input_ids"][masked])
+
+
+def test_grouped_zeroshot_fairness_metrics(tmp_path):
+    """Fairness/WILDS task shape: grouped shards -> per-group, worst-group
+    top-1, mean per-class recall (reference fairness_eval.py/wilds_eval.py)."""
+    import tarfile as tf_mod
+    from contrastors_tpu.eval.datacomp import grouped_zeroshot_task
+
+    rng = np.random.default_rng(3)
+    shard = tmp_path / "grp-0000.tar"
+    with tf_mod.open(shard, "w") as tf:
+        for i in range(12):
+            img = rand_image(rng)
+            buf = io.BytesIO()
+            img.save(buf, format="JPEG")
+            data = buf.getvalue()
+            info = tf_mod.TarInfo(f"{i:04d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            meta = json.dumps({"label": i % 2, "group": "africa" if i % 3 == 0 else "europe"}).encode()
+            info = tf_mod.TarInfo(f"{i:04d}.json")
+            info.size = len(meta)
+            tf.addfile(info, io.BytesIO(meta))
+
+    def encode_image(px):
+        flat = px.reshape(px.shape[0], -1)[:, :16]
+        return flat / (np.linalg.norm(flat, axis=1, keepdims=True) + 1e-6)
+
+    def encode_text(texts):
+        out = np.zeros((len(texts), 16), np.float32)
+        for i, t in enumerate(texts):
+            out[i, hash(t) % 16] = 1.0
+        return out
+
+    res = grouped_zeroshot_task(
+        encode_image, encode_text, str(shard), ["cat", "dog"], image_size=32, batch_size=5
+    )
+    assert 0.0 <= res["acc1"] <= 1.0
+    assert "acc1_group_africa" in res and "acc1_group_europe" in res
+    assert res["worst_group_acc1"] == min(res["acc1_group_africa"], res["acc1_group_europe"])
+    assert abs(res["group_gap_acc1"] - abs(res["acc1_group_africa"] - res["acc1_group_europe"])) < 1e-9
+    assert 0.0 <= res["mean_per_class_recall"] <= 1.0
+
+    from contrastors_tpu.eval.datacomp import aggregate
+
+    agg = aggregate({"geode": res})
+    assert agg["worst_group_acc1"] == res["worst_group_acc1"]
