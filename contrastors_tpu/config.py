@@ -280,15 +280,6 @@ class ParallelArgs(_Base):
 class Config(_Base):
     train_args: TrainArgs
 
-    @model_validator(mode="after")
-    def _packed_checks(self):
-        if (
-            self.data_args is not None
-            and getattr(self.data_args, "packed", False)
-            and self.train_args.grad_cache
-        ):
-            raise ValueError("packed batches are not yet supported with grad_cache")
-        return self
     data_args: Optional[Union[MLMDataArgs, ImageTextDataArgs, ContrastiveDataArgs]] = None
     text_data_args: Optional[ContrastiveDataArgs] = None
     model_args: Optional[ModelArgs] = None

@@ -104,8 +104,10 @@ def grad_cache_loss_and_grads(
         )
     else:
         loss, (gq, gd) = jax.value_and_grad(loss_fn, argnums=(0, 1))(q_embs, d_embs)
-    gq = gq.reshape(n_q, chunk_size, -1)
-    gd = gd.reshape(n_d, chunk_size, -1)
+    # per-chunk embedding count can differ from chunk_size (packed batches:
+    # chunk rows each yield max_segments slot embeddings) — infer it
+    gq = gq.reshape(n_q, -1, gq.shape[-1])
+    gd = gd.reshape(n_d, -1, gd.shape[-1])
 
     # ---- pass 2: replay chunks, accumulate parameter grads -----------------
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)

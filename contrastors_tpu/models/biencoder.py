@@ -51,14 +51,17 @@ def cls_pool(hidden, attention_mask):
 def segment_mean_pool(hidden, segment_ids, max_segments, pair_index):
     """Per-segment masked mean over packed rows (data/packing.py contract):
     hidden [R, L, D], segment_ids [R, L] in 0..max_segments (0 = pad),
-    pair_index [B] flat (row * max_segments + seg - 1) gather indices.
-    Returns [B, D]. The one-hot einsum lowers to a single MXU matmul."""
+    pair_index [B] flat (row * max_segments + seg - 1) gather indices, or
+    None to return the raw [R * max_segments, D] slot matrix.
+    The one-hot einsum lowers to a single MXU matmul."""
     onehot = (
         segment_ids[:, :, None] == jnp.arange(1, max_segments + 1)[None, None, :]
     ).astype(jnp.float32)  # [R, L, K]
     sums = jnp.einsum("rlk,rld->rkd", onehot, hidden.astype(jnp.float32))
     counts = jnp.maximum(jnp.sum(onehot, axis=1), 1.0)[..., None]  # [R, K, 1]
     means = (sums / counts).reshape(-1, hidden.shape[-1])  # [R*K, D]
+    if pair_index is None:
+        return means.astype(hidden.dtype)
     return means[pair_index].astype(hidden.dtype)
 
 
@@ -109,9 +112,12 @@ class BiEncoder(nn.Module):
         """Packed mode (encoder trunks, mean pooling): pass the
         data/packing.py quadruple (segment_ids/position_ids/pair_index +
         static max_segments); attention stays within segments and pooling
-        is per segment, returning one embedding per original sequence."""
+        is per segment, returning one embedding per original sequence.
+        With pair_index=None the raw [rows * max_segments, D] slot matrix is
+        returned instead (GradCache chunks over rows and gathers pairs at
+        the loss stage; empty slots normalize to ~0)."""
         cfg = self.config
-        packed = segment_ids is not None and pair_index is not None
+        packed = segment_ids is not None and max_segments is not None
         if self.trunk_type == "encoder":
             trunk_out = NomicBertModel(
                 config=cfg, dtype=self.dtype, add_pooling_layer=False, remat=self.remat, name="trunk"

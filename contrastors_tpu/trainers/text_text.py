@@ -205,6 +205,8 @@ class TextTextTrainer(BaseTrainer):
             params["logit_scale"] = {"params": {"logit_scale": jnp.minimum(s, logit_max)}}
             return params
 
+        packed = getattr(self.config.data_args, "packed", False) if self.config.data_args else False
+
         if ta.grad_cache:
             chunk = ta.chunk_size or 64
 
@@ -225,6 +227,24 @@ class TextTextTrainer(BaseTrainer):
                     )
                 return res
 
+            def make_packed_encode(K):
+                # chunks are packed ROWS; embeddings are the [rows*K, D]
+                # slot matrix — pairs are gathered at the loss stage
+                def packed_encode(model_params, chunk_batch, chunk_rng):
+                    rngs = {"dropout": chunk_rng} if chunk_rng is not None else None
+                    out = self.biencoder.apply(
+                        model_params,
+                        input_ids=chunk_batch["input_ids"],
+                        segment_ids=chunk_batch["segment_ids"],
+                        position_ids=chunk_batch["position_ids"],
+                        max_segments=K,
+                        deterministic=False,
+                        rngs=rngs,
+                    )
+                    return {"embedding": out["embedding"]}
+
+                return packed_encode
+
             def loss_fn(q, d, scale_params):
                 loss, _ = clip_loss(
                     q, d, self._scale_fn(scale_params),
@@ -234,20 +254,44 @@ class TextTextTrainer(BaseTrainer):
 
             @partial(jax.jit, donate_argnums=(0, 1))
             def train_step(params, opt_state, batch, rng):
-                qb = {"input_ids": batch["query_input_ids"], "attention_mask": batch["query_attention_mask"]}
-                db = {"input_ids": batch["document_input_ids"], "attention_mask": batch["document_attention_mask"]}
-                loss, grads_model, grads_scale = grad_cache_loss_and_grads(
-                    params["model"],
-                    qb,
-                    db,
-                    encode,
-                    encode,
-                    loss_fn,
-                    chunk_size=chunk,
-                    rng=rng,
-                    router_aux_coef=aux_coef if use_moe else 0.0,
-                    extra_params=params["logit_scale"],
-                )
+                if packed:
+                    _, Kq = self._pack_geometry("query")
+                    _, Kd = self._pack_geometry("document")
+                    qb = {k: batch[f"query_{k}"] for k in ("input_ids", "segment_ids", "position_ids")}
+                    db = {k: batch[f"document_{k}"] for k in ("input_ids", "segment_ids", "position_ids")}
+                    q_idx = batch["query_pair_index"]
+                    d_idx = batch["document_pair_index"]
+                    import math
+
+                    rows_gcd = math.gcd(qb["input_ids"].shape[0], db["input_ids"].shape[0])
+                    chunk_rows = max(1, chunk // Kq)
+                    while rows_gcd % chunk_rows:
+                        chunk_rows -= 1
+
+                    def packed_loss(q_slots, d_slots, scale_params):
+                        return loss_fn(q_slots[q_idx], d_slots[d_idx], scale_params)
+
+                    loss, grads_model, grads_scale = grad_cache_loss_and_grads(
+                        params["model"], qb, db,
+                        make_packed_encode(Kq), make_packed_encode(Kd),
+                        packed_loss, chunk_size=chunk_rows, rng=rng,
+                        extra_params=params["logit_scale"],
+                    )
+                else:
+                    qb = {"input_ids": batch["query_input_ids"], "attention_mask": batch["query_attention_mask"]}
+                    db = {"input_ids": batch["document_input_ids"], "attention_mask": batch["document_attention_mask"]}
+                    loss, grads_model, grads_scale = grad_cache_loss_and_grads(
+                        params["model"],
+                        qb,
+                        db,
+                        encode,
+                        encode,
+                        loss_fn,
+                        chunk_size=chunk,
+                        rng=rng,
+                        router_aux_coef=aux_coef if use_moe else 0.0,
+                        extra_params=params["logit_scale"],
+                    )
                 grads = {"model": grads_model, "logit_scale": grads_scale}
                 updates, new_opt = self.tx.update(grads, opt_state, params)
                 new_params = clamp_scale(optax.apply_updates(params, updates))
@@ -255,8 +299,6 @@ class TextTextTrainer(BaseTrainer):
                 return new_params, new_opt, {"loss": loss, "grad_norm": gnorm}
 
             return train_step
-
-        packed = getattr(self.config.data_args, "packed", False) if self.config.data_args else False
 
         def loss_fn(params, batch, rng):
             rq, rd = jax.random.split(rng)

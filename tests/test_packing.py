@@ -113,3 +113,56 @@ def test_packed_matches_padded_absolute_positions():
         max_segments=3,
     )["embedding"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(padded), atol=3e-5, rtol=1e-4)
+
+
+def test_packed_grad_cache_matches_naive():
+    """GradCache over packed rows == naive full-batch packed loss grads
+    (extends the grad-cache equivalence guarantee to the packed path)."""
+    from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
+    from contrastors_tpu.losses import clip_loss
+
+    cfg = nomic_bert_2048(
+        vocab_size=256, n_embd=64, n_layer=2, n_head=4, n_inner=128, attn_impl="sdpa"
+    )
+    model = BiEncoder(config=cfg, pooling="mean", dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    K, L = 4, 96
+    q_ids, q_mask = make_tokenized(rng, B=16, L=32)
+    d_ids, d_mask = make_tokenized(rng, B=16, L=48)
+    from contrastors_tpu.data.packing import pack_tokenized
+
+    qp = pack_tokenized(q_ids, q_mask, L, K)
+    dp = pack_tokenized(d_ids, d_mask, L, K)
+    params = model.init(
+        jax.random.PRNGKey(0), input_ids=jnp.asarray(q_ids), attention_mask=jnp.asarray(q_mask)
+    )
+    scale = lambda x: x * 20.0
+
+    def slots(p, b, _rng):
+        out = model.apply(
+            p, input_ids=b["input_ids"], segment_ids=b["segment_ids"],
+            position_ids=b["position_ids"], max_segments=K,
+        )
+        return {"embedding": out["embedding"]}
+
+    q_idx = jnp.asarray(qp["pair_index"])
+    d_idx = jnp.asarray(dp["pair_index"])
+
+    def loss_slots(q_s, d_s):
+        return clip_loss(q_s[q_idx], d_s[d_idx], scale)[0]
+
+    qb = {k: jnp.asarray(qp[k]) for k in ("input_ids", "segment_ids", "position_ids")}
+    db = {k: jnp.asarray(dp[k]) for k in ("input_ids", "segment_ids", "position_ids")}
+    gc_loss, gc_grads = grad_cache_loss_and_grads(
+        params, qb, db, slots, slots, loss_slots, chunk_size=2
+    )
+
+    def naive(p):
+        q_s = slots(p, qb, None)["embedding"]
+        d_s = slots(p, db, None)["embedding"]
+        return loss_slots(q_s, d_s)
+
+    n_loss, n_grads = jax.value_and_grad(naive)(params)
+    np.testing.assert_allclose(float(gc_loss), float(n_loss), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gc_grads), jax.tree_util.tree_leaves(n_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)

@@ -309,3 +309,21 @@ def test_packed_contrastive_trainer(tmp_path):
     losses = [m["loss"] for m in metrics if "loss" in m]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
+
+
+def test_packed_grad_cache_trainer(tmp_path):
+    """Sequence packing combined with GradCache (the flagship pretrain
+    recipe's execution mode) trains end-to-end."""
+    ckpt = make_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=64)
+    out = str(tmp_path / "run_packed_gc")
+    cfg = base_config(ckpt, data, out, num_epochs=2, grad_cache=True, chunk_size=8)
+    cfg.data_args.batch_size = 32
+    cfg.data_args.packed = True
+    cfg.data_args.packed_seq_len = 32
+    cfg.data_args.packed_max_segments = 4
+    trainer = run_trainer(cfg)
+    metrics = read_metrics(out)
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < max(losses[0], 0.05), f"loss did not converge: {losses}"
