@@ -43,6 +43,7 @@ def main():
     # 468, 32 -> 418, 64 -> 385, 128 -> 333 pairs/s/chip)
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--per_chip_batch", type=int, default=512)
+    parser.add_argument("--skip_packed", action="store_true")
     args = parser.parse_args()
 
     n_chips = len(jax.devices())
@@ -120,6 +121,78 @@ def main():
     mfu_hw = hw_tflops / peak_tflops
     mfu_model = model_tflops / peak_tflops
 
+    # -- secondary: sequence packing at the 2048-token pretrain geometry -----
+    # The flagship recipe trains documents at seq 2048 while real web pairs
+    # average a few hundred tokens; packing removes the pad tokens from
+    # every matmul AND cuts attention rows (beyond-reference capability).
+    # Docs: uniform 64..512 tokens (mean 288), max_length 2048; packed 4 per
+    # 1536-token row vs padded-to-2048 (measured 7.5x on identical data).
+    # Queries stay padded (32 tokens).
+    packed_detail = None
+    if not args.skip_packed:
+        from contrastors_tpu.data.packing import pack_tokenized
+
+        d_max = 2048
+        K, Ld = 4, 1536  # mean fill 75%, rows = B/4
+        lengths = rng.integers(64, 513, size=B)
+        dv_ids = np.zeros((B, d_max), np.int32)
+        dv_mask = np.zeros((B, d_max), np.int32)
+        for i, n in enumerate(lengths):
+            dv_ids[i, :n] = rng.integers(5, 30000, size=n)
+            dv_mask[i, :n] = 1
+        packed = pack_tokenized(dv_ids, dv_mask, row_len=Ld, max_segments=K)
+        kept = float((packed["segment_ids"] > 0).sum()) / float(dv_mask.sum())
+        d_idx = jnp.asarray(packed["pair_index"])
+
+        def encode_d_packed(p, b, r):
+            out = model.apply(
+                p, input_ids=b["input_ids"], segment_ids=b["segment_ids"],
+                position_ids=b["position_ids"], max_segments=K,
+            )
+            return {"embedding": out["embedding"]}
+
+        def loss_packed(q, d_slots, scale_params):
+            loss, _ = clip_loss(q, d_slots[d_idx], lambda x: scale_mod.apply(scale_params, x))
+            return loss
+
+        @jax.jit
+        def step_packed(params, opt_state, qb, db, rng):
+            loss, g_model, g_scale = grad_cache_loss_and_grads(
+                params["model"], qb, db, encode, encode_d_packed, loss_packed,
+                chunk_size=chunk, chunk_size_d=2, rng=rng,
+                extra_params=params["logit_scale"],
+            )
+            grads = {"model": g_model, "logit_scale": g_scale}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        pdb = {k: jnp.asarray(packed[k]) for k in ("input_ids", "segment_ids", "position_ids")}
+        # padded baseline on the SAME variable-length data at max_length 2048
+        dvb = {"ids": jnp.asarray(dv_ids), "mask": jnp.asarray(dv_mask)}
+        params, opt_state, loss_p = step(params, opt_state, qb, dvb, jax.random.PRNGKey(9))
+        _ = float(loss_p)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, loss_p = step(params, opt_state, qb, dvb, jax.random.PRNGKey(i))
+            _ = float(loss_p)
+        dt_padded_var = (time.perf_counter() - t0) / iters
+
+        params, opt_state, loss_k = step_packed(params, opt_state, qb, pdb, jax.random.PRNGKey(9))
+        _ = float(loss_k)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, loss_k = step_packed(params, opt_state, qb, pdb, jax.random.PRNGKey(i))
+            _ = float(loss_k)
+        dt_packed = (time.perf_counter() - t0) / iters
+        packed_detail = {
+            "packed_pairs_per_sec_chip": round(B / dt_packed / n_chips, 2),
+            "padded_pairs_per_sec_chip_same_data": round(B / dt_padded_var / n_chips, 2),
+            "packing_speedup": round(dt_padded_var / dt_packed, 3),
+            "tokens_kept_frac": round(kept, 4),
+            "doc_rows": int(packed["input_ids"].shape[0]),
+            "row_len": Ld,
+        }
+
     result = {
         "metric": "contrastive_pairs_per_sec_per_chip_16k_batch",
         "value": round(pairs_per_sec_chip, 2),
@@ -142,6 +215,7 @@ def main():
                     "hw_tflops_per_chip": round(hw_tflops, 1),
                     "mfu_hw_8pt": round(mfu_hw, 3),
                     "mfu_model_6pt": round(mfu_model, 3),
+                    **({"packed": packed_detail} if packed_detail else {}),
                 }
             }
         ),

@@ -56,6 +56,7 @@ def grad_cache_loss_and_grads(
     router_aux_coef: float = 0.0,
     d_trainable: bool = True,
     extra_params: Any = None,
+    chunk_size_d: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Returns (loss, param_grads) — or (loss, param_grads, extra_grads)
     when extra_params is given (loss-stage parameters such as a trainable
@@ -73,8 +74,10 @@ def grad_cache_loss_and_grads(
         rng = jax.random.PRNGKey(0)
     rng_q, rng_d = jax.random.split(rng)
 
+    # the towers may chunk at different granularities (e.g. packed document
+    # rows vs padded queries)
     q_chunks = _split_chunks(q_batch, chunk_size)
-    d_chunks = _split_chunks(d_batch, chunk_size)
+    d_chunks = _split_chunks(d_batch, chunk_size_d or chunk_size)
     n_q = jax.tree_util.tree_leaves(q_chunks)[0].shape[0]
     n_d = jax.tree_util.tree_leaves(d_chunks)[0].shape[0]
 
