@@ -40,7 +40,10 @@ from contrastors_tpu.layers.activations import ACT2FN, is_gated
 class MoEMLP(nn.Module):
     config: "TrunkConfig"  # noqa: F821
     dtype: jnp.dtype = jnp.float32
-    capacity_factor: float = 2.0
+
+    @property
+    def capacity_factor(self) -> float:
+        return getattr(self.config, "moe_capacity_factor", 2.0)
 
     @nn.compact
     def __call__(
@@ -107,20 +110,29 @@ class MoEMLP(nn.Module):
         pos = jnp.sum(pos * flat, axis=-1).reshape(N, top_k)
         in_cap = (pos < capacity) & valid
 
-        # dispatch tensor [N, E, C] and combine weights
-        disp = (
-            jax.nn.one_hot(top_e, E, dtype=x.dtype)[:, :, :, None]
-            * jax.nn.one_hot(jnp.where(in_cap, pos, capacity), capacity + 1, dtype=x.dtype)[
-                :, :, None, :capacity
-            ]
-        )  # [N, k, E, C]
-        combine = disp * top_w[:, :, None, None].astype(x.dtype)
-        disp = jnp.sum(disp, axis=1)  # [N, E, C]
-        combine = jnp.sum(combine, axis=1)
+        # scatter/gather dispatch: an [E, C] token-index table replaces the
+        # [N, E, C] one-hot dispatch einsums (measured 2.4x dense-MLP time;
+        # this form is 2 gathers + 1 scatter-add of size E*C = O(N*k))
+        flat_e = top_e.reshape(-1)
+        flat_w = top_w.reshape(-1)
+        flat_ok = in_cap.reshape(-1)
+        token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_k)
+        safe_pos = jnp.where(flat_ok, pos.reshape(-1), capacity)  # OOB -> dropped
+        idx = jnp.full((E, capacity), N, jnp.int32)  # sentinel = zero row of x_pad
+        idx = idx.at[flat_e, safe_pos].set(
+            jnp.where(flat_ok, token_of, N), mode="drop"
+        )
+        w_table = jnp.zeros((E, capacity), jnp.float32).at[flat_e, safe_pos].set(
+            jnp.where(flat_ok, flat_w, 0.0).astype(jnp.float32), mode="drop"
+        )
 
-        expert_in = jnp.einsum("nd,nec->ecd", x, disp)  # [E, C, D]
+        x_pad = jnp.concatenate([x, jnp.zeros((1, D), x.dtype)], axis=0)
+        expert_in = jnp.take(x_pad, idx.reshape(-1), axis=0).reshape(E, capacity, D)
         expert_out = self._expert_mlps(expert_in, E, D, F_hid, gated, act)
-        out = jnp.einsum("ecd,nec->nd", expert_out, combine)
+        contrib = (expert_out * w_table[:, :, None].astype(expert_out.dtype)).reshape(-1, D)
+        out = (
+            jnp.zeros((N + 1, D), contrib.dtype).at[idx.reshape(-1)].add(contrib)[:N]
+        )
         out = self._shared_and_bias(out, x, D, F_hid, num_shared, act, cfg)
         return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked
 
