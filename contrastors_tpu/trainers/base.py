@@ -43,6 +43,14 @@ class BaseTrainer(ABC):
         self.total_steps = ta.num_train_steps or (ta.num_epochs * self.steps_per_epoch)
 
         self.model, self.params = self.get_model()
+        # place params on the mesh: replicated by default; expert tensors on
+        # "expert", Megatron-style column/row splits on "tensor" when those
+        # axes are >1 (parallel/sharding.py rules)
+        from contrastors_tpu.parallel.sharding import param_shardings
+
+        self.params = jax.tree_util.tree_map(
+            jax.device_put, self.params, param_shardings(self.params, self.mesh)
+        )
 
         warmup = ta.warmup_steps or (
             int(self.total_steps * ta.warmup_pct) if ta.warmup_pct else 0

@@ -112,3 +112,28 @@ def test_tp_with_expert_axis_moe():
     with mesh:
         got = float(loss(params_s, jax.device_put(ids, dp), jax.device_put(mask, dp)))
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_tp_trainer_e2e(tmp_path):
+    """parallel_args.tensor > 1 trains end-to-end from YAML-style config
+    (params placed by the trainer via param_shardings)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_trainer_e2e import base_config, make_checkpoint_dir, make_pairs_file, read_metrics
+    from contrastors_tpu.trainers import TRAINER_REGISTRY
+
+    ckpt = make_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=64)
+    out = str(tmp_path / "run_tp")
+    cfg = base_config(ckpt, data, out, num_epochs=2)
+    cfg.parallel_args.tensor = 2
+    cfg.parallel_args.data = 4
+    trainer = TRAINER_REGISTRY["encoder"](cfg, "fp32")
+    # TP placement actually applied
+    specs = [str(l.sharding.spec) for l in jax.tree_util.tree_leaves(trainer.params) if hasattr(l, "sharding")]
+    assert any("tensor" in s for s in specs)
+    trainer.train()
+    metrics = read_metrics(out)
+    losses = [m["loss"] for m in metrics if "loss" in m]
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < max(losses[0], 0.05)
