@@ -24,6 +24,10 @@ from contrastors_tpu.ops import attention_core
 class MultiHeadAttention(nn.Module):
     config: "TrunkConfig"  # noqa: F821
     dtype: jnp.dtype = jnp.float32
+    # per-layer overrides (ModernBERT-style local layers: sliding window +
+    # a different rotary base; 0/None = use the global config)
+    window: int = 0
+    rotary_base_override: Optional[float] = None
 
     @nn.compact
     def __call__(
@@ -55,7 +59,7 @@ class MultiHeadAttention(nn.Module):
             cos, sin = rotary_cos_sin(
                 table_len,
                 cfg.rotary_emb_dim,
-                base=cfg.rotary_emb_base,
+                base=self.rotary_base_override or cfg.rotary_emb_base,
                 rope_scaling=cfg.rope_scaling,
                 rotary_scaling_factor=cfg.rotary_scaling_factor,
                 max_trained_positions=cfg.max_trained_positions,
@@ -92,6 +96,7 @@ class MultiHeadAttention(nn.Module):
             attention_mask=attention_mask,
             segment_ids=segment_ids,
             causal=cfg.causal,
+            window=self.window,
             softmax_scale=1.0 / (D**0.5),
             dropout_p=cfg.attn_pdrop if not deterministic else 0.0,
             dropout_rng=dropout_rng,

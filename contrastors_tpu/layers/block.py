@@ -41,6 +41,12 @@ class Block(nn.Module):
     moe: bool = False
     drop_path_rate1: float = 0.0
     drop_path_rate2: float = 0.0
+    # per-layer attention overrides (ModernBERT local layers)
+    attn_window: int = 0
+    rotary_base_override: Optional[float] = None
+    # prenorm layer 0 may skip norm1 (ModernBERT: the embedding norm
+    # directly precedes it)
+    norm1_identity: bool = False
 
     @nn.compact
     def __call__(
@@ -69,13 +75,19 @@ class Block(nn.Module):
             rng = self.make_rng("dropout") if (not deterministic and rate > 0.0) else None
             return _drop_path(x, rate, deterministic, rng)
 
-        attn = MultiHeadAttention(config=cfg, dtype=self.dtype, name="attn")
+        attn = MultiHeadAttention(
+            config=cfg,
+            dtype=self.dtype,
+            window=self.attn_window,
+            rotary_base_override=self.rotary_base_override,
+            name="attn",
+        )
         if self.moe and cfg.num_experts > 0:
             mlp = MoEMLP(config=cfg, dtype=self.dtype, name="mlp")
         else:
             mlp = make_mlp(cfg, self.dtype, name="mlp")
 
-        norm1 = make_norm(cfg, name="norm1")
+        norm1 = (lambda x: x) if self.norm1_identity else make_norm(cfg, name="norm1")
         norm2 = make_norm(cfg, name="norm2")
 
         ls1 = ls2 = None

@@ -55,4 +55,9 @@ class RMSNorm(nn.Module):
 def make_norm(config, name: Optional[str] = None):
     if config.use_rms_norm:
         return RMSNorm(dim=config.n_embd, eps=config.layer_norm_epsilon, name=name)
-    return LayerNorm(dim=config.n_embd, eps=config.layer_norm_epsilon, name=name)
+    return LayerNorm(
+        dim=config.n_embd,
+        eps=config.layer_norm_epsilon,
+        use_bias=getattr(config, "norm_bias", True),
+        name=name,
+    )

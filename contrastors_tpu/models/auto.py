@@ -52,7 +52,7 @@ class _NS:
 
 def sniff_family(model_type: str, model_name: str) -> str:
     name = (model_name or "").lower()
-    if model_type in ("bert", "nomic_bert", "roberta", "xlm-roberta"):
+    if model_type in ("bert", "nomic_bert", "roberta", "xlm-roberta", "modernbert"):
         return "encoder"
     if model_type in ("gpt_neox", "llama", "gpt2", "open_lm", "openlm"):
         return "decoder"
@@ -66,7 +66,12 @@ def trunk_config_from_hf_dict(hf: Dict[str, Any], **overrides) -> Tuple[TrunkCon
     family = sniff_family(model_type, hf.get("_name_or_path", ""))
     ns = _NS(hf)
     if family == "encoder":
-        cfg = bert_config_to_trunk_config(ns, **overrides)
+        if model_type == "modernbert":
+            from contrastors_tpu.models.hf_interop import modernbert_config_to_trunk_config
+
+            cfg = modernbert_config_to_trunk_config(hf, **overrides)
+        else:
+            cfg = bert_config_to_trunk_config(ns, **overrides)
     elif family == "decoder":
         from contrastors_tpu.models.hf_interop_decoder import decoder_config_to_trunk_config
 
@@ -113,7 +118,11 @@ def load_biencoder(
         )
     if model_args.pad_vocab_to_multiple_of:
         overrides["pad_vocab_size_multiple"] = model_args.pad_vocab_to_multiple_of
-    if model_args.activation_function and "hidden_act" not in hf_cfg:
+    if (
+        model_args.activation_function
+        and "hidden_act" not in hf_cfg
+        and "hidden_activation" not in hf_cfg  # modernbert spells it this way
+    ):
         overrides.setdefault("activation_function", model_args.activation_function)
 
     cfg, family = trunk_config_from_hf_dict(hf_cfg, **overrides)
@@ -145,7 +154,12 @@ def load_biencoder(
         if sd is None:
             raise FileNotFoundError(f"pretrained=true but no weights found in {path}")
         if family == "encoder":
-            trunk = bert_state_dict_to_flax(sd, cfg)
+            if hf_cfg.get("model_type") == "modernbert":
+                from contrastors_tpu.models.hf_interop import modernbert_state_dict_to_flax
+
+                trunk = modernbert_state_dict_to_flax(sd, cfg)
+            else:
+                trunk = bert_state_dict_to_flax(sd, cfg)
             if cfg.num_experts > 0:
                 # dense checkpoint into an MoE config: replicate dense MLPs
                 # into experts (reference modeling_nomic_bert.py:175-262)

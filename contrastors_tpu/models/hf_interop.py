@@ -291,6 +291,83 @@ def flax_to_bert_state_dict(params: dict, config: TrunkConfig) -> Dict[str, Arra
     return sd
 
 
+# ---------------------------------------------------------------------------
+# ModernBERT (answerdotai/ModernBERT-*): prenorm, alternating global/local
+# attention, GeGLU with fused Wi. The reference ships modernbert recipes but
+# no model code (its configs/train/*_modernbert.yaml would not load) — this
+# framework actually runs them.
+# ---------------------------------------------------------------------------
+
+
+def modernbert_config_to_trunk_config(hf: Dict, **overrides) -> TrunkConfig:
+    kw = dict(
+        vocab_size=hf["vocab_size"],
+        n_positions=0,  # rotary
+        n_embd=hf["hidden_size"],
+        n_layer=hf["num_hidden_layers"],
+        n_head=hf["num_attention_heads"],
+        n_inner=hf["intermediate_size"],
+        activation_function="geglu",  # act(input) * gate, exact gelu
+        layer_norm_epsilon=hf.get("norm_eps", 1e-5),
+        norm_bias=bool(hf.get("norm_bias", False)),
+        prenorm=True,
+        skip_first_prenorm=True,  # layer 0 attn_norm is Identity
+        causal=False,
+        rotary_emb_fraction=1.0,
+        rotary_emb_base=hf.get("global_rope_theta", 160_000.0),
+        local_rotary_emb_base=hf.get("local_rope_theta", 10_000.0),
+        sliding_window=hf.get("local_attention", 128),
+        global_attn_every_n_layers=hf.get("global_attn_every_n_layers", 3),
+        qkv_proj_bias=bool(hf.get("attention_bias", False)),
+        mlp_fc1_bias=bool(hf.get("mlp_bias", False)),
+        mlp_fc2_bias=bool(hf.get("mlp_bias", False)),
+        type_vocab_size=0,
+        pad_token_id=hf.get("pad_token_id", 0),
+        embd_pdrop=hf.get("embedding_dropout", 0.0),
+        resid_pdrop=hf.get("mlp_dropout", 0.0),
+        attn_pdrop=hf.get("attention_dropout", 0.0),
+        max_trained_positions=hf.get("max_position_embeddings", 8192),
+    )
+    kw.update(overrides)
+    return TrunkConfig(**kw)
+
+
+def modernbert_state_dict_to_flax(sd: Dict[str, Array], config: TrunkConfig) -> dict:
+    """HF ModernBertModel state dict -> NomicBertModel flax params.
+    Wi packs [input, gate]; HF computes act(input) * gate, our GatedMLP
+    computes fc11(x) * act(fc12(x)) — so fc12 <- input half, fc11 <- gate."""
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+    trunk: dict = {}
+    w = sd["embeddings.tok_embeddings.weight"]
+    if config.vocab_size > w.shape[0]:
+        w = np.pad(w, ((0, config.vocab_size - w.shape[0]), (0, 0)))
+    set_path(trunk, "embeddings/word_embeddings/embedding", w)
+    set_path(trunk, "emb_ln/weight", sd["embeddings.norm.weight"])
+    if "embeddings.norm.bias" in sd:
+        set_path(trunk, "emb_ln/bias", sd["embeddings.norm.bias"])
+    for i in range(config.n_layer):
+        src = f"layers.{i}"
+        dst = f"layers_{i}"
+        set_path(trunk, f"{dst}/attn/Wqkv/kernel", _t(sd[f"{src}.attn.Wqkv.weight"]))
+        set_path(trunk, f"{dst}/attn/out_proj/kernel", _t(sd[f"{src}.attn.Wo.weight"]))
+        if f"{src}.attn_norm.weight" in sd:  # absent at layer 0 (Identity)
+            set_path(trunk, f"{dst}/norm1/weight", sd[f"{src}.attn_norm.weight"])
+            if f"{src}.attn_norm.bias" in sd:
+                set_path(trunk, f"{dst}/norm1/bias", sd[f"{src}.attn_norm.bias"])
+        set_path(trunk, f"{dst}/norm2/weight", sd[f"{src}.mlp_norm.weight"])
+        if f"{src}.mlp_norm.bias" in sd:
+            set_path(trunk, f"{dst}/norm2/bias", sd[f"{src}.mlp_norm.bias"])
+        wi = sd[f"{src}.mlp.Wi.weight"]  # [2F, E] torch layout
+        F_hid = wi.shape[0] // 2
+        set_path(trunk, f"{dst}/mlp/fc12/kernel", _t(wi[:F_hid]))  # acted "input"
+        set_path(trunk, f"{dst}/mlp/fc11/kernel", _t(wi[F_hid:]))  # linear "gate"
+        set_path(trunk, f"{dst}/mlp/fc2/kernel", _t(sd[f"{src}.mlp.Wo.weight"]))
+    set_path(trunk, "final_norm/weight", sd["final_norm.weight"])
+    if "final_norm.bias" in sd:
+        set_path(trunk, "final_norm/bias", sd["final_norm.bias"])
+    return {"params": trunk}
+
+
 def flax_to_nomic_state_dict(params: dict, config: TrunkConfig) -> Dict[str, Array]:
     """Inverse remap keeping the flash naming (Wqkv fused, fc11/fc12,
     norm1/norm2) — the layout the exported trust_remote_code torch model

@@ -66,6 +66,17 @@ class TrunkConfig:
     # rotary embeddings
     rotary_emb_fraction: float = 0.0
     rotary_emb_base: float = 10_000.0
+    # ModernBERT-style alternating local/global attention: sliding_window is
+    # the TOTAL window (attend iff |i-j| <= window // 2, HF local_attention
+    # semantics); every global_attn_every_n_layers-th layer is global
+    # (0 = all layers global); local layers may use a different rotary base.
+    sliding_window: int = 0
+    global_attn_every_n_layers: int = 0
+    local_rotary_emb_base: Optional[float] = None
+    # prenorm trunks: skip norm1 in layer 0 (ModernBERT — the embedding
+    # norm directly precedes it)
+    skip_first_prenorm: bool = False
+    norm_bias: bool = True
     rotary_emb_interleaved: bool = False
     rotary_emb_scale_base: Optional[float] = None  # xpos; unused by released ckpts
     rotary_scaling_factor: Optional[float] = None  # DynamicNTK (inference only)

@@ -51,7 +51,12 @@ class NomicBertModel(nn.Module):
             input_ids, position_ids=position_ids, token_type_ids=token_type_ids
         )
         # BERT: LN before dropout (reference modeling_nomic_bert.py:529-535)
-        hidden = LayerNorm(dim=cfg.n_embd, eps=cfg.layer_norm_epsilon, name="emb_ln")(hidden)
+        hidden = LayerNorm(
+            dim=cfg.n_embd,
+            eps=cfg.layer_norm_epsilon,
+            use_bias=cfg.norm_bias,
+            name="emb_ln",
+        )(hidden)
         if cfg.embd_pdrop > 0.0 and not deterministic:
             hidden = nn.Dropout(rate=cfg.embd_pdrop, name="emb_drop")(hidden, deterministic=False)
 
@@ -60,12 +65,33 @@ class NomicBertModel(nn.Module):
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block, static_argnums=(6,))
+        every_n = cfg.global_attn_every_n_layers
         for i in range(cfg.n_layer):
+            # ModernBERT-style alternation: every_n-th layer is global, the
+            # rest are sliding-window local with their own rotary base
+            is_global = every_n <= 0 or i % every_n == 0
             hidden, residual, rl = block_cls(
-                config=cfg, dtype=self.dtype, moe=_layer_is_moe(cfg, i), name=f"layers_{i}"
+                config=cfg,
+                dtype=self.dtype,
+                moe=_layer_is_moe(cfg, i),
+                attn_window=0 if is_global else cfg.sliding_window,
+                rotary_base_override=None if is_global else cfg.local_rotary_emb_base,
+                norm1_identity=cfg.prenorm and cfg.skip_first_prenorm and i == 0,
+                name=f"layers_{i}",
             )(hidden, residual, attention_mask, segment_ids, position_ids, None, deterministic)
             if rl is not None:
                 router_logits.append(rl)
+
+        if cfg.prenorm:
+            # final dropout-add-norm closes the shifted-prenorm carry
+            # (reference decoder.py:276-320 role; ModernBERT final_norm)
+            if cfg.resid_pdrop > 0.0 and not deterministic:
+                hidden = nn.Dropout(rate=cfg.resid_pdrop, name="final_drop")(
+                    hidden, deterministic=False
+                )
+            resid_dtype = jnp.float32 if cfg.residual_in_fp32 else hidden.dtype
+            residual = hidden.astype(resid_dtype) if residual is None else residual + hidden.astype(resid_dtype)
+            hidden = make_norm(cfg, name="final_norm")(residual).astype(self.dtype)
 
         out: Dict[str, Any] = {"last_hidden_state": hidden, "router_logits": router_logits}
         if self.add_pooling_layer:

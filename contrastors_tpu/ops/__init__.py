@@ -18,6 +18,7 @@ def attention_core(
     segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    window: int = 0,
     softmax_scale: Optional[float] = None,
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
@@ -52,6 +53,7 @@ def attention_core(
                 segment_ids=segment_ids,
                 kv_segment_ids=kv_segment_ids,
                 causal=causal,
+                window=window,
                 softmax_scale=softmax_scale,
                 block_q=block_q,
                 block_kv=block_kv,
@@ -64,6 +66,7 @@ def attention_core(
         segment_ids=segment_ids,
         kv_segment_ids=kv_segment_ids,
         causal=causal,
+        window=window,
         softmax_scale=softmax_scale,
         dropout_p=dropout_p,
         dropout_rng=dropout_rng,

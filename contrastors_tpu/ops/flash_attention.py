@@ -76,6 +76,7 @@ def _fwd_kernel(
     block_kv: int,
     kv_len: int,
     masked: bool,
+    window: int,
 ):
     j = pl.program_id(3)
     n_kv = pl.num_programs(3)
@@ -105,10 +106,13 @@ def _fwd_kernel(
             skv = seg_kv_ref[0, :]  # [bkv]
             valid = (sq[:, None] == skv[None, :]) & (skv[None, :] != 0)
             s = jnp.where(valid, s, NEG_INF)
-        if causal:
+        if causal or window > 0:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            if causal:
+                s = jnp.where(rows >= cols, s, NEG_INF)
+            if window > 0:
+                s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
 
         m_prev = m_scr[:]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -125,13 +129,23 @@ def _fwd_kernel(
         acc_scr[:] = acc_scr[:] * corr + pv
         m_scr[:] = m_new
 
+    live = True
     if causal:
         # skip fully-masked blocks above the diagonal
-        @pl.when(q_idx * block_q + block_q - 1 >= j * block_kv)
+        live = q_idx * block_q + block_q - 1 >= j * block_kv
+    if window > 0:
+        # skip blocks entirely outside the band
+        w2 = window // 2
+        overlap = (j * block_kv <= q_idx * block_q + block_q - 1 + w2) & (
+            j * block_kv + block_kv - 1 >= q_idx * block_q - w2
+        )
+        live = overlap if live is True else (live & overlap)
+    if live is True:
+        compute()
+    else:
+        @pl.when(live)
         def _():
             compute()
-    else:
-        compute()
 
     @pl.when(j == n_kv - 1)
     def _finalize():
@@ -143,7 +157,7 @@ def _fwd_kernel(
         lse_ref[0, :] = jnp.where(l[:, 0] == 0.0, NEG_INF, lse[:, 0])
 
 
-def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
+def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
     # q [B, H, S, D]; k/v [B, Hkv, T, D] (GQA: q head h reads kv head h // g)
     B, H, S, D = q.shape
     T = k.shape[2]
@@ -163,6 +177,7 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
         block_kv=block_kv,
         kv_len=T,
         masked=masked,
+        window=window,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -197,7 +212,7 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
 def _bwd_dq_kernel(
     seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_scr,
-    *, causal, sm_scale, block_q, block_kv, masked,
+    *, causal, sm_scale, block_q, block_kv, masked, window,
 ):
     j = pl.program_id(3)
     n_kv = pl.num_programs(3)
@@ -224,10 +239,13 @@ def _bwd_dq_kernel(
             skv = seg_kv_ref[0, :]
             valid = (sq[:, None] == skv[None, :]) & (skv[None, :] != 0)
             s = jnp.where(valid, s, NEG_INF)
-        if causal:
+        if causal or window > 0:
             rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            if causal:
+                s = jnp.where(rows >= cols, s, NEG_INF)
+            if window > 0:
+                s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
         p = jnp.exp2(s - lse)  # lse stored in base 2 by the forward
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -237,12 +255,21 @@ def _bwd_dq_kernel(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+    live = True
     if causal:
-        @pl.when(q_idx * block_q + block_q - 1 >= j * block_kv)
+        live = q_idx * block_q + block_q - 1 >= j * block_kv
+    if window > 0:
+        w2 = window // 2
+        overlap = (j * block_kv <= q_idx * block_q + block_q - 1 + w2) & (
+            j * block_kv + block_kv - 1 >= q_idx * block_q - w2
+        )
+        live = overlap if live is True else (live & overlap)
+    if live is True:
+        compute()
+    else:
+        @pl.when(live)
         def _():
             compute()
-    else:
-        compute()
 
     @pl.when(j == n_kv - 1)
     def _fin():
@@ -252,7 +279,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, causal, sm_scale, block_q, block_kv, masked, n_q,
+    *, causal, sm_scale, block_q, block_kv, masked, n_q, window,
 ):
     # innermost dim iterates over (q head in GQA group) x (q block):
     # i = qh_in_group * n_q + q_block; dk/dv accumulate across the group
@@ -283,10 +310,13 @@ def _bwd_dkv_kernel(
             skv = seg_kv_ref[0, :]
             valid = (sq[:, None] == skv[None, :]) & (skv[None, :] != 0)
             s = jnp.where(valid, s, NEG_INF)
-        if causal:
+        if causal or window > 0:
             rows = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(rows >= cols, s, NEG_INF)
+            if causal:
+                s = jnp.where(rows >= cols, s, NEG_INF)
+            if window > 0:
+                s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
         p = jnp.exp2(s - lse)  # [bq, bkv]
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -299,12 +329,21 @@ def _bwd_dkv_kernel(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
+    live = True
     if causal:
-        @pl.when(q_blk * block_q + block_q - 1 >= kv_idx * block_kv)
+        live = q_blk * block_q + block_q - 1 >= kv_idx * block_kv
+    if window > 0:
+        w2 = window // 2
+        overlap = (kv_idx * block_kv <= q_blk * block_q + block_q - 1 + w2) & (
+            kv_idx * block_kv + block_kv - 1 >= q_blk * block_q - w2
+        )
+        live = overlap if live is True else (live & overlap)
+    if live is True:
+        compute()
+    else:
+        @pl.when(live)
         def _():
             compute()
-    else:
-        compute()
 
     @pl.when(i == n_inner - 1)
     def _fin():
@@ -312,7 +351,7 @@ def _bwd_dkv_kernel(
         dv_ref[:, :] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd(causal, sm_scale, block_q, block_kv, masked, res, g):
+def _bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g):
     q, k, v, seg_q, seg_kv, out, lse = res
     do = g  # [B, H, S, D]
     B, H, S, D = q.shape
@@ -333,7 +372,8 @@ def _bwd(causal, sm_scale, block_q, block_kv, masked, res, g):
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel,
-            causal=causal, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv, masked=masked,
+            causal=causal, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
+            masked=masked, window=window,
         ),
         grid=(B, H, S // block_q, T // block_kv),
         in_specs=[segq_spec, segkv_spec, q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
@@ -363,7 +403,7 @@ def _bwd(causal, sm_scale, block_q, block_kv, masked, res, g):
         functools.partial(
             _bwd_dkv_kernel,
             causal=causal, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
-            masked=masked, n_q=n_q,
+            masked=masked, n_q=n_q, window=window,
         ),
         grid=(B, Hkv, T // block_kv, gq * n_q),
         in_specs=[segq_i, segkv_i, q_i, kv_i, kv_i, q_i, lse_i, lse_i],
@@ -388,19 +428,19 @@ def _bwd(causal, sm_scale, block_q, block_kv, masked, res, g):
     return dq, dk, dv, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
-    out, _ = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
+    out, _ = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window)
     return out
 
 
-def _flash_fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked):
-    out, lse = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked)
+def _flash_fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
+    out, lse = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window)
     return out, (q, k, v, seg_q, seg_kv, out, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_kv, masked, res, g):
-    return _bwd(causal, sm_scale, block_q, block_kv, masked, res, g)
+def _flash_bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g):
+    return _bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -418,6 +458,7 @@ def flash_attention(
     segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    window: int = 0,
     softmax_scale: Optional[float] = None,
     block_q: int = 512,
     block_kv: int = 2048,
@@ -442,6 +483,7 @@ def flash_attention(
             segment_ids=segment_ids,
             kv_segment_ids=kv_segment_ids,
             causal=causal,
+            window=window,
             softmax_scale=softmax_scale,
         )
 
@@ -486,5 +528,5 @@ def flash_attention(
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    out = _flash(q, k, v, seg_q, seg_kv, causal, softmax_scale, bq, bkv, masked)
+    out = _flash(q, k, v, seg_q, seg_kv, causal, softmax_scale, bq, bkv, masked, window)
     return out.transpose(0, 2, 1, 3)[:, :S]

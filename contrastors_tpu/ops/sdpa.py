@@ -31,6 +31,7 @@ def attention_bias(
     segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    window: int = 0,
     dtype=jnp.float32,
 ):
     """Additive bias [B or 1, 1, S, T] (broadcastable over heads)."""
@@ -52,6 +53,12 @@ def attention_bias(
         row = jnp.arange(q_len)[:, None]
         col = jnp.arange(kv_len)[None, :]
         add(jnp.where(row + (kv_len - q_len) >= col, 0.0, NEG_INF)[None, None].astype(dtype))
+    if window > 0:
+        # sliding window: attend iff |i - j| <= window // 2 (HF ModernBERT
+        # local_attention semantics)
+        row = jnp.arange(q_len)[:, None]
+        col = jnp.arange(kv_len)[None, :]
+        add(jnp.where(jnp.abs(row - col) <= window // 2, 0.0, NEG_INF)[None, None].astype(dtype))
     return bias
 
 
@@ -63,6 +70,7 @@ def sdpa(
     segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     causal: bool = False,
+    window: int = 0,
     softmax_scale: Optional[float] = None,
     dropout_p: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
@@ -82,7 +90,7 @@ def sdpa(
     logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
     logits = logits * softmax_scale
 
-    bias = attention_bias(S, T, attention_mask, segment_ids, kv_segment_ids, causal)
+    bias = attention_bias(S, T, attention_mask, segment_ids, kv_segment_ids, causal, window)
     if bias is not None:
         logits = logits + bias
 

@@ -168,3 +168,34 @@ def test_flash_gqa_matches_sdpa(causal, hkv):
     for gf, gs, name in zip(grads_f, grads_s, "qkv"):
         assert gf.shape == gs.shape, name
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), atol=5e-5, rtol=1e-3, err_msg=name)
+
+
+def test_flash_sliding_window_matches_sdpa():
+    """Sliding-window (ModernBERT local attention) fwd+bwd parity, with a
+    window small enough that far kv blocks are skipped entirely."""
+    rng = np.random.default_rng(21)
+    B, S, H, D = 2, 512, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    mask = jnp.asarray(np.array([[1] * S, [1] * 300 + [0] * (S - 300)]), jnp.int32)
+    W = 128  # total window; blocks of 128 -> off-band blocks skipped
+
+    def lf(q, k, v):
+        o = flash_attention(q, k, v, attention_mask=mask, window=W, block_q=128, block_kv=128)
+        return jnp.sum((o * mask[:, :, None, None]) ** 2), o
+
+    def ls(q, k, v):
+        o = sdpa(q, k, v, attention_mask=mask, window=W)
+        return jnp.sum((o * mask[:, :, None, None]) ** 2), o
+
+    (_, of), gf = jax.value_and_grad(lf, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    (_, os), gs = jax.value_and_grad(ls, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    valid = np.asarray(mask)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(of) * valid, np.asarray(os) * valid, atol=2e-5)
+    for a, b, name in zip(gf, gs, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-3, err_msg=name)
+
+    # the window actually restricts attention (differs from global)
+    o_global = sdpa(q, k, v, attention_mask=mask)
+    assert not np.allclose(np.asarray(os), np.asarray(o_global), atol=1e-3)
