@@ -57,6 +57,15 @@ def pack_tokenized(
             free = np.flatnonzero(nseg < max_segments)
             r = int(free[np.argmax(row_len - used[free])])
             n = int(row_len - used[r])
+            if n == 0:
+                # the slot exists but holds no tokens; its pooled embedding
+                # is exactly zero (normalize is VJP-safe at zero). Size
+                # row_len/max_segments to the data to avoid this.
+                print(
+                    f"[packing] sequence {i} truncated to 0 tokens "
+                    f"(row_len={row_len}, max_segments={max_segments} too tight)",
+                    flush=True,
+                )
         start = int(used[r])
         if n > 0:
             ids[r, start : start + n] = input_ids[i, :n]

@@ -392,9 +392,26 @@ class StreamingShardDataset:
                 try:
                     records = self._read_rank_batch(url, already)
                 except ShardReadError as e:
-                    print(f"[data] dropping shard after read failure: {e}", flush=True)
-                    self.current_paths.remove(url)
-                    continue
+                    # reopen once (transient stream state), then substitute
+                    # this rank's first window (keeps per-shard batch counts —
+                    # and therefore multi-host cadence — intact), then give up
+                    # on the shard
+                    print(f"[data] read failure, retrying: {e}", flush=True)
+                    try:
+                        records = self._read_rank_batch(url, already)
+                    except ShardReadError:
+                        try:
+                            records = self._read_rank_batch(url, 0)
+                            print(f"[data] substituted window 0 of {url}", flush=True)
+                        except ShardReadError as e2:
+                            if self.world_size > 1:
+                                # dropping a shard on one rank desynchronizes
+                                # the shard-choice RNG across processes —
+                                # fail loudly instead of training on skew
+                                raise
+                            print(f"[data] dropping shard after read failure: {e2}", flush=True)
+                            self.current_paths.remove(url)
+                            continue
                 cursor[url] = already + self.rank_batch_size
                 self._write_cursor(cursor)
                 if cursor[url] >= self.max_per_shard[url]:

@@ -97,6 +97,12 @@ def trunk_config_to_nomic_hf_dict(cfg: TrunkConfig, orig_vocab_size: Optional[in
         "mlp_fc1_bias": cfg.mlp_fc1_bias,
         "mlp_fc2_bias": cfg.mlp_fc2_bias,
         "use_rms_norm": bool(cfg.use_rms_norm),
+        "norm_bias": bool(cfg.norm_bias),
+        "prenorm": bool(cfg.prenorm),
+        "skip_first_prenorm": bool(cfg.skip_first_prenorm),
+        "sliding_window": cfg.sliding_window,
+        "global_attn_every_n_layers": cfg.global_attn_every_n_layers,
+        "local_rope_theta": cfg.local_rotary_emb_base,
     }
 
 

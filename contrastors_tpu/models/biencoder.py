@@ -118,6 +118,12 @@ class BiEncoder(nn.Module):
         the loss stage; empty slots normalize to ~0)."""
         cfg = self.config
         packed = segment_ids is not None and max_segments is not None
+        if packed and self.trunk_type != "encoder":
+            raise ValueError("packed mode supports encoder trunks only")
+        if packed and attention_mask is None:
+            # anything mask-aware inside the trunk (MoE routing, aux stats)
+            # must see row padding as invalid, not just the attention bias
+            attention_mask = (segment_ids > 0).astype(jnp.int32)
         if self.trunk_type == "encoder":
             trunk_out = NomicBertModel(
                 config=cfg, dtype=self.dtype, add_pooling_layer=False, remat=self.remat, name="trunk"
@@ -180,9 +186,12 @@ class BiEncoder(nn.Module):
         if binarize:
             embedding = (embedding > 0).astype(jnp.float32)
         elif normalize:
-            norm = jnp.linalg.norm(embedding.astype(jnp.float32), axis=-1, keepdims=True)
-            embedding = (embedding.astype(jnp.float32) / jnp.maximum(norm, 1e-12)).astype(
-                embedding.dtype
-            )
+            # clamp INSIDE the sqrt: jnp.linalg.norm's VJP at a zero vector
+            # is NaN even under a zero cotangent (sqrt'(0) = inf), which
+            # would poison grad-cache replay when packed slot matrices
+            # contain empty slots
+            e32 = embedding.astype(jnp.float32)
+            norm = jnp.sqrt(jnp.maximum(jnp.sum(e32 * e32, axis=-1, keepdims=True), 1e-24))
+            embedding = (e32 / norm).astype(embedding.dtype)
 
         return {"embedding": embedding, "router_logits": router_logits}

@@ -401,6 +401,8 @@ def flax_to_nomic_state_dict(params: dict, config: TrunkConfig) -> Dict[str, Arr
         if "bias" in lp["attn"]["out_proj"]:
             sd[f"{pre}.attn.out_proj.bias"] = np.asarray(lp["attn"]["out_proj"]["bias"])
         for norm in ("norm1", "norm2"):
+            if norm not in lp:  # prenorm layer 0 may skip norm1 (ModernBERT)
+                continue
             sd[f"{pre}.{norm}.weight"] = np.asarray(lp[norm]["weight"])
             if "bias" in lp[norm]:
                 sd[f"{pre}.{norm}.bias"] = np.asarray(lp[norm]["bias"])
@@ -409,6 +411,10 @@ def flax_to_nomic_state_dict(params: dict, config: TrunkConfig) -> Dict[str, Arr
                 sd[f"{pre}.mlp.{fc}.weight"] = _t(np.asarray(lp["mlp"][fc]["kernel"]))
                 if "bias" in lp["mlp"][fc]:
                     sd[f"{pre}.mlp.{fc}.bias"] = np.asarray(lp["mlp"][fc]["bias"])
+    if "final_norm" in p:  # prenorm trunks
+        sd["final_norm.weight"] = np.asarray(p["final_norm"]["weight"])
+        if "bias" in p["final_norm"]:
+            sd["final_norm.bias"] = np.asarray(p["final_norm"]["bias"])
     return sd
 
 

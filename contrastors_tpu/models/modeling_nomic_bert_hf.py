@@ -49,6 +49,12 @@ class NomicBertConfig(PretrainedConfig):
         mlp_fc1_bias=False,
         mlp_fc2_bias=False,
         use_rms_norm=False,
+        norm_bias=True,
+        prenorm=False,
+        skip_first_prenorm=False,
+        sliding_window=0,
+        global_attn_every_n_layers=0,
+        local_rope_theta=None,
         tie_word_embeddings=True,
         **kwargs,
     ):
@@ -72,6 +78,12 @@ class NomicBertConfig(PretrainedConfig):
         self.mlp_fc1_bias = mlp_fc1_bias
         self.mlp_fc2_bias = mlp_fc2_bias
         self.use_rms_norm = use_rms_norm
+        self.norm_bias = norm_bias
+        self.prenorm = prenorm
+        self.skip_first_prenorm = skip_first_prenorm
+        self.sliding_window = sliding_window
+        self.global_attn_every_n_layers = global_attn_every_n_layers
+        self.local_rope_theta = local_rope_theta
         super().__init__(pad_token_id=pad_token_id, tie_word_embeddings=tie_word_embeddings, **kwargs)
 
 
@@ -94,7 +106,7 @@ def _make_norm(config, dim=None):
     dim = dim or config.hidden_size
     if config.use_rms_norm:
         return nn.RMSNorm(dim, eps=config.layer_norm_eps)
-    return nn.LayerNorm(dim, eps=config.layer_norm_eps)
+    return nn.LayerNorm(dim, eps=config.layer_norm_eps, bias=getattr(config, "norm_bias", True))
 
 
 def _rotary_cos_sin(seqlen, rotary_dim, base, device):
@@ -160,12 +172,13 @@ class NomicBertEmbeddings(nn.Module):
 
 
 class NomicBertAttention(nn.Module):
-    def __init__(self, config):
+    def __init__(self, config, rotary_base=None, window=0):
         super().__init__()
         self.num_heads = config.num_attention_heads
         self.head_dim = config.hidden_size // config.num_attention_heads
         self.rotary_dim = int(self.head_dim * config.rotary_emb_fraction)
-        self.rotary_base = config.rotary_emb_base
+        self.rotary_base = rotary_base or config.rotary_emb_base
+        self.window = window  # total sliding window; attend iff |i-j| <= window // 2
         self.interleaved = config.rotary_emb_interleaved
         self.Wqkv = nn.Linear(config.hidden_size, 3 * config.hidden_size, bias=config.qkv_proj_bias)
         self.out_proj = nn.Linear(config.hidden_size, config.hidden_size, bias=config.qkv_proj_bias)
@@ -180,6 +193,12 @@ class NomicBertAttention(nn.Module):
             q = _apply_rotary(q, cos, sin, self.interleaved)
             k = _apply_rotary(k, cos, sin, self.interleaved)
         q, k, v = (t.transpose(1, 2) for t in (q, k, v))  # [B, H, S, D]
+        if self.window > 0:
+            pos = torch.arange(S, device=hidden_states.device)
+            band = (pos[None, :] - pos[:, None]).abs() <= self.window // 2
+            wbias = torch.zeros(S, S, dtype=q.dtype, device=q.device)
+            wbias.masked_fill_(~band, torch.finfo(q.dtype).min)
+            attn_bias = wbias if attn_bias is None else attn_bias + wbias
         out = F.scaled_dot_product_attention(
             q, k, v, attn_mask=attn_bias, dropout_p=self.dropout_p if self.training else 0.0
         )
@@ -215,18 +234,36 @@ class NomicBertMLP(nn.Module):
 
 
 class NomicBertBlock(nn.Module):
-    """Post-norm: h = norm1(attn(h) + h); h = norm2(mlp(h) + h)
-    (matches layers/block.py postnorm branch)."""
+    """Post-norm: h = norm1(attn(h) + h); h = norm2(mlp(h) + h), or
+    pre-norm: h = h + attn(norm1(h)); h = h + mlp(norm2(h))
+    (matches layers/block.py). Pre-norm layer 0 may skip norm1
+    (ModernBERT). Local layers get a sliding window + their own rotary
+    base."""
 
-    def __init__(self, config):
+    def __init__(self, config, layer_idx=0):
         super().__init__()
-        self.attn = NomicBertAttention(config)
+        every_n = getattr(config, "global_attn_every_n_layers", 0)
+        is_global = every_n <= 0 or layer_idx % every_n == 0
+        self.prenorm = bool(getattr(config, "prenorm", False))
+        self.attn = NomicBertAttention(
+            config,
+            rotary_base=None if is_global else getattr(config, "local_rope_theta", None),
+            window=0 if is_global else getattr(config, "sliding_window", 0),
+        )
         self.mlp = NomicBertGatedMLP(config) if config.hidden_act in GATED_ACTS else NomicBertMLP(config)
-        self.norm1 = _make_norm(config)
+        skip_norm1 = (
+            self.prenorm and getattr(config, "skip_first_prenorm", False) and layer_idx == 0
+        )
+        self.norm1 = nn.Identity() if skip_norm1 else _make_norm(config)
         self.norm2 = _make_norm(config)
         self.dropout = nn.Dropout(config.hidden_dropout_prob)
 
     def forward(self, hidden_states, attn_bias=None):
+        if self.prenorm:
+            hidden_states = hidden_states + self.dropout(
+                self.attn(self.norm1(hidden_states), attn_bias=attn_bias)
+            )
+            return hidden_states + self.dropout(self.mlp(self.norm2(hidden_states)))
         attn_out = self.attn(hidden_states, attn_bias=attn_bias)
         hidden_states = self.norm1(self.dropout(attn_out) + hidden_states)
         mlp_out = self.mlp(hidden_states)
@@ -247,14 +284,17 @@ class NomicBertPreTrainedModel(PreTrainedModel):
         elif isinstance(module, nn.Embedding):
             module.weight.data.normal_(mean=0.0, std=std)
         elif isinstance(module, nn.LayerNorm):
-            module.bias.data.zero_()
+            if module.bias is not None:
+                module.bias.data.zero_()
             module.weight.data.fill_(1.0)
 
 
 class NomicBertEncoder(nn.Module):
     def __init__(self, config):
         super().__init__()
-        self.layers = nn.ModuleList(NomicBertBlock(config) for _ in range(config.num_hidden_layers))
+        self.layers = nn.ModuleList(
+            NomicBertBlock(config, layer_idx=i) for i in range(config.num_hidden_layers)
+        )
 
     def forward(self, hidden_states, attn_bias=None):
         for layer in self.layers:
@@ -269,6 +309,7 @@ class NomicBertModel(NomicBertPreTrainedModel):
         self.emb_ln = _make_norm(config)
         self.emb_drop = nn.Dropout(config.hidden_dropout_prob)
         self.encoder = NomicBertEncoder(config)
+        self.final_norm = _make_norm(config) if getattr(config, "prenorm", False) else None
         self.post_init()
 
     def forward(
@@ -288,6 +329,8 @@ class NomicBertModel(NomicBertPreTrainedModel):
             neg = torch.finfo(hidden.dtype).min
             attn_bias = (1.0 - attention_mask[:, None, None, :].to(hidden.dtype)) * neg
         hidden = self.encoder(hidden, attn_bias=attn_bias)
+        if self.final_norm is not None:
+            hidden = self.final_norm(hidden)
         if not return_dict:
             return (hidden,)
         return BaseModelOutput(last_hidden_state=hidden)

@@ -117,6 +117,11 @@ class TextTextTrainer(BaseTrainer):
             L, K = self._pack_geometry(col)
             packed = pack_tokenized(ids, mask, row_len=L, max_segments=K,
                                     pad_id=self.tokenizer.pad_token_id or 0)
+            # multi-host: pair_index is built against this process's rows,
+            # but shard_batch assembles a GLOBAL slot matrix — offset into
+            # this rank's slice (rows stack in process order)
+            rank_offset = jax.process_index() * packed["input_ids"].shape[0] * K
+            packed["pair_index"] = packed["pair_index"] + rank_offset
             for k, v in packed.items():
                 out[f"{col}_{k}"] = v
         return out
@@ -183,8 +188,14 @@ class TextTextTrainer(BaseTrainer):
             self.tokenizer,
             seq_len=self.config.data_args.document_max_length or 256,
             batch_size=64,
-            query_prefix=margs.query_prefix.rstrip(": ") if margs.add_prefix else None,
-            document_prefix=margs.document_prefix.rstrip(": ") if margs.add_prefix else None,
+            query_prefix=(
+                margs.query_prefix.rstrip(": ") if margs.add_prefix and margs.query_prefix else None
+            ),
+            document_prefix=(
+                margs.document_prefix.rstrip(": ")
+                if margs.add_prefix and margs.document_prefix
+                else None
+            ),
         )
         res = evaluate_retrieval(enc, corpus, queries, qrels, ks=(10,))
         return {f"retrieval/{k}": v for k, v in res.items()}
@@ -241,7 +252,15 @@ class TextTextTrainer(BaseTrainer):
                         deterministic=False,
                         rngs=rngs,
                     )
-                    return {"embedding": out["embedding"]}
+                    res = {"embedding": out["embedding"]}
+                    if use_moe and out["router_logits"]:
+                        res["router_aux"] = router_aux_loss(
+                            out["router_logits"],
+                            margs.num_experts,
+                            margs.moe_top_k,
+                            attention_mask=(chunk_batch["segment_ids"] > 0).astype(jnp.int32),
+                        )
+                    return res
 
                 return packed_encode
 
@@ -275,6 +294,7 @@ class TextTextTrainer(BaseTrainer):
                         params["model"], qb, db,
                         make_packed_encode(Kq), make_packed_encode(Kd),
                         packed_loss, chunk_size=chunk_rows, rng=rng,
+                        router_aux_coef=aux_coef if use_moe else 0.0,
                         extra_params=params["logit_scale"],
                     )
                 else:

@@ -303,3 +303,59 @@ def test_nomic_export_trust_remote_code_automodel(tmp_path):
         out = tmodel(torch.from_numpy(np.asarray(ids)).long()).last_hidden_state
     flax_out = np.asarray(model.apply(params, ids, mask)["last_hidden_state"])
     np.testing.assert_allclose(out.numpy(), flax_out, atol=2e-5, rtol=1e-4)
+
+
+def test_modernbert_export_round_trip(tmp_path):
+    """Prenorm + sliding-window (ModernBERT-style) trunk exports to a
+    runnable trust_remote_code package: strict state-dict load, forward
+    parity incl. local/global alternation and the skipped layer-0 norm."""
+    import importlib.util
+    import json as _json
+    import os
+    import jax
+
+    from contrastors_tpu.export import export_bert_trunk
+    from contrastors_tpu.models.model_config import TrunkConfig
+
+    cfg = TrunkConfig(
+        vocab_size=256, n_positions=0, n_embd=64, n_layer=5, n_head=4, n_inner=96,
+        activation_function="geglu", layer_norm_epsilon=1e-5, norm_bias=False,
+        prenorm=True, skip_first_prenorm=True, rotary_emb_fraction=1.0,
+        rotary_emb_base=160000.0, local_rotary_emb_base=10000.0, sliding_window=8,
+        global_attn_every_n_layers=3, qkv_proj_bias=False, mlp_fc1_bias=False,
+        mlp_fc2_bias=False, type_vocab_size=0, pad_token_id=0, attn_impl="sdpa",
+    )
+    model = NomicBertModel(config=cfg)
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(5, 250, size=(2, 20)), jnp.int32)
+    mask = jnp.asarray(np.array([[1] * 20, [1] * 13 + [0] * 7]), jnp.int32)
+    params = model.init(jax.random.PRNGKey(3), ids, mask)
+    flax_out = np.asarray(model.apply(params, ids, mask)["last_hidden_state"])
+
+    out_dir = str(tmp_path / "export_mb")
+    export_bert_trunk(params, cfg, out_dir)
+    hf_cfg = _json.load(open(os.path.join(out_dir, "config.json")))
+    assert hf_cfg["prenorm"] and hf_cfg["sliding_window"] == 8
+
+    spec = importlib.util.spec_from_file_location(
+        "exported_mb", os.path.join(out_dir, "modeling_nomic_bert.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    tcfg = mod.NomicBertConfig(
+        **{k: v for k, v in hf_cfg.items() if k not in ("architectures", "auto_map", "model_type")}
+    )
+    tmodel = mod.NomicBertModel(tcfg).eval()
+    from safetensors.torch import load_file
+
+    missing, unexpected = tmodel.load_state_dict(
+        load_file(os.path.join(out_dir, "model.safetensors")), strict=True
+    )
+    assert not missing and not unexpected
+    with torch.no_grad():
+        torch_out = tmodel(
+            torch.tensor(np.asarray(ids)).long(),
+            attention_mask=torch.tensor(np.asarray(mask)).long(),
+        ).last_hidden_state.numpy()
+    for b, l in enumerate([20, 13]):
+        np.testing.assert_allclose(torch_out[b, :l], flax_out[b, :l], atol=5e-5, rtol=1e-4)

@@ -136,3 +136,32 @@ def test_two_process_cpu_training_batch():
             return
         last = "\n---\n".join(outs)
     raise AssertionError(f"two-process run failed:\n{last}")
+
+
+def test_packed_pair_index_rank_offset(tmp_path, monkeypatch):
+    """Under multi-host, packed pair_index must address this rank's slice of
+    the globally assembled slot matrix (code-review finding: without the
+    offset every rank gathered rank 0's embeddings)."""
+    import jax
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_trainer_e2e import base_config, make_checkpoint_dir, make_pairs_file
+    from contrastors_tpu.trainers import TRAINER_REGISTRY
+
+    ckpt = make_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=32)
+    cfg = base_config(ckpt, data, str(tmp_path / "run"), num_epochs=1)
+    cfg.data_args.batch_size = 16
+    cfg.data_args.packed = True
+    cfg.data_args.packed_seq_len = 32
+    cfg.data_args.packed_max_segments = 2  # -> 8 local rows, 16 slots
+    trainer = TRAINER_REGISTRY["encoder"](cfg, "fp32")
+    batch = next(iter(trainer.dataloader))
+
+    out0 = trainer.transform_host_batch(dict(batch))
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    out1 = trainer.transform_host_batch(dict(batch))
+    rows, K = out0["query_input_ids"].shape[0], 2
+    np.testing.assert_array_equal(
+        out1["query_pair_index"], out0["query_pair_index"] + rows * K
+    )
