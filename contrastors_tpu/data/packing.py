@@ -19,6 +19,9 @@ Output contract (consumed by BiEncoder's packed path):
   pair_index   [B]           flat gather index row * max_segments + (seg - 1)
                              recovering sequence i's pooled embedding from
                              the [R * max_segments, D] per-segment matrix
+  last_token_index [B]       flat gather index row * row_len + last-token
+                             position (per-segment last-token pooling for
+                             causal/decoder trunks)
 """
 
 from typing import Dict, List
@@ -42,6 +45,7 @@ def pack_tokenized(
     seg = np.zeros((R, row_len), dtype=np.int32)
     pos = np.zeros((R, row_len), dtype=np.int32)
     pair_index = np.zeros(B, dtype=np.int32)
+    last_token_index = np.zeros(B, dtype=np.int32)
     used = np.zeros(R, dtype=np.int64)
     nseg = np.zeros(R, dtype=np.int64)
 
@@ -72,6 +76,7 @@ def pack_tokenized(
             seg[r, start : start + n] = nseg[r] + 1
             pos[r, start : start + n] = np.arange(n, dtype=np.int32)
         pair_index[i] = r * max_segments + int(nseg[r])
+        last_token_index[i] = r * row_len + start + max(n, 1) - 1
         used[r] += n
         nseg[r] += 1
 
@@ -80,6 +85,7 @@ def pack_tokenized(
         "segment_ids": seg,
         "position_ids": pos,
         "pair_index": pair_index,
+        "last_token_index": last_token_index,
     }
 
 

@@ -104,6 +104,7 @@ class BiEncoder(nn.Module):
         segment_ids: Optional[jnp.ndarray] = None,
         position_ids: Optional[jnp.ndarray] = None,
         pair_index: Optional[jnp.ndarray] = None,
+        last_token_index: Optional[jnp.ndarray] = None,
         max_segments: Optional[int] = None,
         normalize: bool = True,
         binarize: bool = False,
@@ -118,8 +119,8 @@ class BiEncoder(nn.Module):
         the loss stage; empty slots normalize to ~0)."""
         cfg = self.config
         packed = segment_ids is not None and max_segments is not None
-        if packed and self.trunk_type != "encoder":
-            raise ValueError("packed mode supports encoder trunks only")
+        if packed and self.trunk_type == "vision":
+            raise ValueError("packed mode does not apply to vision trunks")
         if packed and attention_mask is None:
             # anything mask-aware inside the trunk (MoE routing, aux stats)
             # must see row padding as invalid, not just the attention bias
@@ -137,7 +138,11 @@ class BiEncoder(nn.Module):
             )
         elif self.trunk_type == "decoder":
             trunk_out = DecoderModel(config=cfg, dtype=self.dtype, remat=self.remat, name="trunk")(
-                input_ids, attention_mask=attention_mask, deterministic=deterministic
+                input_ids,
+                attention_mask=attention_mask,
+                position_ids=position_ids,
+                segment_ids=segment_ids,
+                deterministic=deterministic,
             )
         elif self.trunk_type == "vision":
             trunk_out = ViTModel(config=cfg, dtype=self.dtype, remat=self.remat, name="trunk")(
@@ -154,9 +159,17 @@ class BiEncoder(nn.Module):
         router_logits = trunk_out.get("router_logits") or None
 
         if packed:
-            if self.pooling != "mean":
-                raise ValueError("packed mode supports mean pooling only")
-            embedding = segment_mean_pool(hidden, segment_ids, max_segments, pair_index)
+            if self.pooling == "mean":
+                embedding = segment_mean_pool(hidden, segment_ids, max_segments, pair_index)
+            elif self.pooling == "last":
+                # per-segment last token (decoder trunks; causal attention
+                # stays within segments via the segment-id bias)
+                if last_token_index is None:
+                    raise ValueError("packed 'last' pooling needs last_token_index")
+                flat = hidden.reshape(-1, hidden.shape[-1])
+                embedding = flat[last_token_index]
+            else:
+                raise ValueError("packed mode supports mean or last pooling only")
         elif self.pooling == "mean":
             embedding = mean_pool(hidden, attention_mask)
         elif self.pooling == "last":

@@ -135,6 +135,7 @@ class TextTextTrainer(BaseTrainer):
             segment_ids=batch[f"{col}_segment_ids"],
             position_ids=batch[f"{col}_position_ids"],
             pair_index=batch[f"{col}_pair_index"],
+            last_token_index=batch[f"{col}_last_token_index"],
             max_segments=K,
             deterministic=rng is None,
             rngs=rngs,

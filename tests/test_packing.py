@@ -166,3 +166,34 @@ def test_packed_grad_cache_matches_naive():
     np.testing.assert_allclose(float(gc_loss), float(n_loss), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(gc_grads), jax.tree_util.tree_leaves(n_grads)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
+
+
+def test_packed_decoder_last_pooling_matches_padded():
+    """Decoder trunk + packed rows: causal attention stays within segments
+    and per-segment last-token pooling matches the padded run."""
+    from contrastors_tpu.models.model_config import TrunkConfig
+
+    cfg = TrunkConfig(
+        vocab_size=256, n_positions=0, n_embd=64, n_layer=2, n_head=4, n_inner=128,
+        activation_function="gelu", rotary_emb_fraction=0.25, causal=True,
+        pad_token_id=0, attn_impl="sdpa",
+    )
+    model = BiEncoder(config=cfg, trunk_type="decoder", pooling="last", dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    ids, mask = make_tokenized(rng, B=6, L=40)
+    params = model.init(jax.random.PRNGKey(0), input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))
+    padded = model.apply(params, input_ids=jnp.asarray(ids), attention_mask=jnp.asarray(mask))[
+        "embedding"
+    ]
+
+    packed = pack_tokenized(ids, mask, row_len=120, max_segments=3)  # 3*40 fits
+    assert int((packed["segment_ids"] > 0).sum()) == int(mask.sum())  # no truncation
+    out = model.apply(
+        params,
+        input_ids=jnp.asarray(packed["input_ids"]),
+        segment_ids=jnp.asarray(packed["segment_ids"]),
+        position_ids=jnp.asarray(packed["position_ids"]),
+        last_token_index=jnp.asarray(packed["last_token_index"]),
+        max_segments=3,
+    )["embedding"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(padded), atol=3e-5, rtol=1e-4)
