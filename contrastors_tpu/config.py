@@ -195,6 +195,10 @@ class ModelArgs(_Base):
     num_experts: int = 0
     moe_top_k: int = 1
     ffn_div: int = 1
+    # "dropless" (megablocks-semantics ragged grouped matmul) or "capacity"
+    # (fixed-capacity dispatch); reference spellings "megablocks" /
+    # "contrastors" (block.py:193) are accepted as aliases.
+    moe_impl: str = "dropless"
     moe_normalize_expert_weights: bool = False
     expert_choice_router: bool = False
     num_shared_experts: int = 0
@@ -223,6 +227,21 @@ class ModelArgs(_Base):
     @classmethod
     def _default_logit_scale(cls, v):
         return 1 / 0.07 if v is None else v
+
+    @field_validator("moe_impl", mode="before")
+    @classmethod
+    def _alias_moe_impl(cls, v):
+        # reference spellings (block.py:193): megablocks = dropless dMoE,
+        # contrastors = the naive loop whose TPU analogue is the capacity
+        # dispatch
+        aliases = {"megablocks": "dropless", "contrastors": "capacity"}
+        v = aliases.get(v, v)
+        if v not in ("dropless", "capacity"):
+            raise ValueError(
+                f"moe_impl must be 'dropless' or 'capacity' (or reference "
+                f"aliases 'megablocks'/'contrastors'), got {v!r}"
+            )
+        return v
 
     @field_validator("model_type")
     @classmethod

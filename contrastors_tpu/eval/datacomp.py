@@ -164,6 +164,97 @@ def grouped_zeroshot_task(
     return out
 
 
+def get_clip_prompt(item: str, prefix: str = None) -> str:
+    """Cue -> prompt ("A"/"An" by leading vowel, optional task prefix) —
+    same text shaping as the reference (eval/datacomp/wino_eval.py:125-136)."""
+    item = item.lower()
+    article = "An" if item[0] in "aeiou" else "A"
+    clip_txt = f"{article} {item}"
+    if prefix is not None:
+        clip_txt = f"{prefix}: {clip_txt}"
+    return clip_txt
+
+
+def iter_wds_wino(shards: str, image_size: int):
+    """Yields (candidate images [list of chw], cue str, association mask)
+    from tar shards where each instance is a .json member
+    {"cue": ..., "associations": [bool per candidate]} plus image members
+    <key>.0.jpg ... <key>.N.jpg in candidate order."""
+    transform = image_transform(image_size, is_train=False)
+    from PIL import Image
+
+    for url in expand_urls(shards):
+        with tarfile.open(url, "r") as tf:
+            current, images, meta = None, {}, None
+
+            def emit():
+                if meta is not None and images:
+                    ordered = [images[i] for i in sorted(images)]
+                    yield ordered, meta["cue"], np.asarray(meta["associations"], bool)
+
+            for member in tf:
+                if not member.isfile():
+                    continue
+                parts = member.name.split(".")
+                base = parts[0]
+                if current is not None and base != current:
+                    yield from emit()
+                    images, meta = {}, None
+                current = base
+                data = tf.extractfile(member).read()
+                if member.name.lower().endswith((".jpg", ".jpeg", ".png", ".webp")):
+                    img = Image.open(io.BytesIO(data))
+                    img.load()
+                    images[int(parts[1])] = transform(img)
+                elif member.name.endswith(".json"):
+                    meta = json.loads(data)
+            yield from emit()
+
+
+def winogavil_task(
+    encode_image: Callable[[np.ndarray], np.ndarray],
+    encode_text: Callable[[List[str]], np.ndarray],
+    shards: str = None,
+    instances=None,
+    image_size: int = 224,
+    prefix: str = None,
+) -> Dict[str, float]:
+    """WinoGAViL association game (reference eval/datacomp/wino_eval.py:39-109):
+    per instance, rank candidate images by cue-text similarity, predict the
+    top-|associations| and score the Jaccard index against the true set;
+    report the average plus the reference's per-set-size breakdown.
+
+    `instances` (iterable of (images, cue, bool mask)) overrides `shards`
+    (tar layout documented at iter_wds_wino)."""
+    if instances is None:
+        instances = iter_wds_wino(shards, image_size)
+
+    scores, sizes = [], []
+    for images, cue, y_true in instances:
+        y_true = np.asarray(y_true, bool)
+        n_assoc = int(y_true.sum())
+        img_embs = np.asarray(encode_image(np.stack(images)))
+        txt_emb = np.asarray(encode_text([get_clip_prompt(cue, prefix=prefix)]))[0]
+        img_embs = img_embs / (np.linalg.norm(img_embs, axis=-1, keepdims=True) + 1e-9)
+        txt_emb = txt_emb / (np.linalg.norm(txt_emb) + 1e-9)
+        logits = img_embs @ txt_emb
+        top = np.argsort(logits)[-n_assoc:] if n_assoc else np.array([], int)
+        y_pred = np.isin(np.arange(len(images)), top)
+        union = (y_true | y_pred).sum()
+        scores.append(float((y_true & y_pred).sum() / union) if union else 1.0)
+        sizes.append(len(images))
+
+    scores_a, sizes_a = np.asarray(scores), np.asarray(sizes)
+    out = {"avg_jaccard_score": float(scores_a.mean())}
+    for n in sorted(set(sizes)):
+        out[f"jaccard_score_{n}"] = float(scores_a[sizes_a == n].mean())
+    if (sizes_a <= 6).any():
+        out["jaccard_score_5-6"] = float(scores_a[sizes_a <= 6].mean())
+    if (sizes_a >= 10).any():
+        out["jaccard_score_10-12"] = float(scores_a[sizes_a >= 10].mean())
+    return out
+
+
 def retrieval_task(
     encode_image,
     encode_text_batch,
@@ -198,6 +289,8 @@ def aggregate(results: Dict[str, Dict[str, float]]) -> Dict[str, float]:
         if "image_to_text_R@1" in res:
             mean_r = np.mean([res["image_to_text_R@1"], res["text_to_image_R@1"]])
             by_type.setdefault("retrieval_R@1", []).append(float(mean_r))
+        if "avg_jaccard_score" in res:
+            by_type.setdefault("winogavil_jaccard", []).append(res["avg_jaccard_score"])
     return {k: float(np.mean(v)) for k, v in by_type.items()}
 
 
@@ -259,10 +352,16 @@ def main():
             results[task["name"]] = retrieval_task(
                 encode_image, encode_text, task["shards"], args.image_size
             )
+        elif task["type"] in ("winogavil", "misc/winogavil"):
+            results[task["name"]] = winogavil_task(
+                encode_image, encode_text, task["shards"], image_size=args.image_size,
+                prefix=task.get("prefix"),
+            )
         else:
             raise SystemExit(
                 f"unknown task type {task['type']!r} for task {task['name']!r}; "
-                "expected 'zeroshot', 'grouped_zeroshot'/'fairness'/'wilds', or 'retrieval'"
+                "expected 'zeroshot', 'grouped_zeroshot'/'fairness'/'wilds', "
+                "'retrieval', or 'winogavil'"
             )
         print(task["name"], results[task["name"]])
     results["aggregate"] = aggregate(results)

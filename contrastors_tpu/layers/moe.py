@@ -15,11 +15,19 @@ Semantics preserved from the reference:
   - returns (output, router_logits) so the trainer can apply the
     Switch-style load-balance loss (reference loss.py:13-73).
 
-Difference: megablocks is dropless; a fixed-capacity dispatch can drop
-tokens when routing is extremely unbalanced. capacity_factor=2.0 makes this
-rare, and the aux loss drives routing towards balance. A Pallas ragged
-grouped-matmul upgrade can replace the dispatch later without changing this
-module's interface.
+Two dispatch implementations (config.moe_impl):
+  - "dropless" (default): assignments sorted by expert feed
+    jax.lax.ragged_dot grouped matmuls — XLA:TPU's native megablocks
+    equivalent. No token is ever dropped, matching megablocks dMoE
+    semantics exactly; compute is O(N*k) rows regardless of balance.
+  - "capacity": fixed-capacity scatter/gather dispatch (Switch/Mesh-TF
+    formulation). Can drop tokens when routing is extremely unbalanced;
+    capacity_factor=2.0 makes this rare and the aux loss drives routing
+    towards balance. Static [E, C] shapes shard cleanly over the "expert"
+    mesh axis, so this remains the expert-parallel path of choice.
+
+Both read the same [E, ...] expert parameters, so checkpoints are
+interchangeable between impls.
 
 expert_choice_router=True switches to expert-choice routing (Zhou et al.
 2022; the reference exposes the knob at config.py:152-203 but megablocks
@@ -100,6 +108,25 @@ class MoEMLP(nn.Module):
             top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
         top_w = top_w * valid.astype(top_w.dtype)
 
+        if getattr(cfg, "moe_impl", "dropless") == "dropless":
+            # megablocks-dMoE semantics: sort the N*k (token, expert)
+            # assignments by expert and run ragged grouped matmuls
+            # (jax.lax.ragged_dot lowers to the TPU grouped-matmul path).
+            # Nothing is ever dropped; zero-weight (pad) rows still flow
+            # through the matmul but contribute nothing.
+            flat_e = top_e.reshape(-1)  # [N*k]
+            flat_w = top_w.reshape(-1).astype(jnp.float32)
+            token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_k)
+            order = jnp.argsort(flat_e)  # stable -> deterministic
+            src = jnp.take(token_of, order)  # source row per sorted slot
+            x_sorted = jnp.take(x, src, axis=0).astype(self.dtype)  # [N*k, D]
+            group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+            y = self._expert_mlps_ragged(x_sorted, group_sizes, E, D, F_hid, gated, act)
+            contrib = y * jnp.take(flat_w, order)[:, None].astype(y.dtype)
+            out = jnp.zeros((N, D), contrib.dtype).at[src].add(contrib)
+            out = self._shared_and_bias(out, x, D, F_hid, num_shared, act, cfg)
+            return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked
+
         capacity = int(max(self.capacity_factor * N * top_k / max(E, 1), top_k))
         capacity = min(capacity, N)
 
@@ -136,7 +163,9 @@ class MoEMLP(nn.Module):
         out = self._shared_and_bias(out, x, D, F_hid, num_shared, act, cfg)
         return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked
 
-    def _expert_mlps(self, expert_in, E, D, F_hid, gated, act):
+    def _expert_weights(self, E, D, F_hid, gated):
+        """Create the [E, ...] expert tensors once; both dispatch impls
+        consume the same parameters, so checkpoints are interchangeable."""
         cfg = self.config
 
         def expert_param(name, shape):
@@ -145,17 +174,38 @@ class MoEMLP(nn.Module):
             ).astype(self.dtype)
 
         if gated:
-            w_up = expert_param("w_up", (E, D, F_hid))
-            w_gate = expert_param("w_gate", (E, D, F_hid))
-            w_down = expert_param("w_down", (E, F_hid, D))
-            h = jnp.einsum("ecd,edf->ecf", expert_in, w_up) * act(
+            return (
+                expert_param("w_up", (E, D, F_hid)),
+                expert_param("w_gate", (E, D, F_hid)),
+                expert_param("w_down", (E, F_hid, D)),
+            )
+        return (
+            expert_param("w_in", (E, D, F_hid)),
+            None,
+            expert_param("w_down", (E, F_hid, D)),
+        )
+
+    def _expert_mlps(self, expert_in, E, D, F_hid, gated, act):
+        w_in, w_gate, w_down = self._expert_weights(E, D, F_hid, gated)
+        if gated:
+            h = jnp.einsum("ecd,edf->ecf", expert_in, w_in) * act(
                 jnp.einsum("ecd,edf->ecf", expert_in, w_gate)
             )
-            return jnp.einsum("ecf,efd->ecd", h, w_down)
-        w_in = expert_param("w_in", (E, D, F_hid))
-        w_down = expert_param("w_down", (E, F_hid, D))
-        h = act(jnp.einsum("ecd,edf->ecf", expert_in, w_in))
+        else:
+            h = act(jnp.einsum("ecd,edf->ecf", expert_in, w_in))
         return jnp.einsum("ecf,efd->ecd", h, w_down)
+
+    def _expert_mlps_ragged(self, x_sorted, group_sizes, E, D, F_hid, gated, act):
+        """Dropless expert MLPs over expert-sorted rows ([M, D], M = N*k)
+        via grouped matmuls — the TPU-native form of megablocks'
+        block-sparse expert compute (reference layers/block.py:192-216)."""
+        w_in, w_gate, w_down = self._expert_weights(E, D, F_hid, gated)
+        h = jax.lax.ragged_dot(x_sorted, w_in, group_sizes)
+        if gated:
+            h = h * act(jax.lax.ragged_dot(x_sorted, w_gate, group_sizes))
+        else:
+            h = act(h)
+        return jax.lax.ragged_dot(h, w_down, group_sizes)
 
     def _shared_and_bias(self, out, x, D, F_hid, num_shared, act, cfg):
         if num_shared > 0:

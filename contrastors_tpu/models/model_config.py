@@ -108,7 +108,11 @@ class TrunkConfig:
     num_experts: int = 0
     moe_top_k: int = 1
     moe_every_n_layers: int = 1
-    moe_capacity_factor: float = 2.0  # fixed-capacity dispatch slots = cf * N * k / E
+    # "dropless": sort-by-expert + ragged grouped matmul, no token drops
+    # (megablocks dMoE semantics); "capacity": fixed-capacity scatter/gather
+    # dispatch (Switch-style, can drop under extreme imbalance)
+    moe_impl: str = "dropless"
+    moe_capacity_factor: float = 2.0  # capacity impl: slots = cf * N * k / E
     ffn_div: int = 1
     moe_normalize_expert_weights: bool = False
     expert_choice_router: bool = False

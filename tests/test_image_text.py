@@ -371,3 +371,97 @@ def test_grouped_zeroshot_fairness_metrics(tmp_path):
 
     agg = aggregate({"geode": res})
     assert agg["worst_group_acc1"] == res["worst_group_acc1"]
+
+
+def test_winogavil_task(tmp_path):
+    """WinoGAViL association instances -> Jaccard + per-set-size breakdown
+    (reference eval/datacomp/wino_eval.py:39-109)."""
+    import tarfile as tf_mod
+    from contrastors_tpu.eval.datacomp import (
+        aggregate,
+        get_clip_prompt,
+        iter_wds_wino,
+        winogavil_task,
+    )
+
+    assert get_clip_prompt("elephant") == "An elephant"
+    assert get_clip_prompt("Dog", prefix="classification") == "classification: A dog"
+
+    # perfect-oracle encoders: image embedding = one-hot of its candidate
+    # slot; cue text embedding = indicator over its true associations ->
+    # top-n_assoc ranking recovers the association set exactly (Jaccard 1)
+    rng = np.random.default_rng(7)
+    dim = 16
+
+    instances = []
+    for size, n_assoc in ((5, 2), (6, 3), (10, 4), (12, 5)):
+        mask = np.zeros(size, bool)
+        mask[rng.choice(size, n_assoc, replace=False)] = True
+        imgs = [np.eye(dim, dtype=np.float32)[i].reshape(1, 4, 4) for i in range(size)]
+        instances.append((imgs, f"cue{size}", mask))
+
+    truth_by_cue = {cue: mask for _, cue, mask in instances}
+
+    def encode_image(px):
+        return px.reshape(px.shape[0], -1)
+
+    def encode_text(texts):
+        out = np.zeros((len(texts), dim), np.float32)
+        for i, t in enumerate(texts):
+            cue = t.split()[-1]  # "A cue5" -> "cue5"
+            mask = truth_by_cue[cue]
+            out[i, : len(mask)] = mask.astype(np.float32)
+        return out
+
+    res = winogavil_task(encode_image, encode_text, instances=instances)
+    assert res["avg_jaccard_score"] == 1.0
+    for n in (5, 6, 10, 12):
+        assert res[f"jaccard_score_{n}"] == 1.0
+    assert res["jaccard_score_5-6"] == 1.0 and res["jaccard_score_10-12"] == 1.0
+
+    # adversarial encoder: rank exactly the non-associated images ->
+    # Jaccard 0 (disjoint sets when n_assoc <= size/2)
+    def encode_text_wrong(texts):
+        return -encode_text(texts)
+
+    res0 = winogavil_task(encode_image, encode_text_wrong, instances=instances)
+    assert res0["avg_jaccard_score"] == 0.0
+
+    agg = aggregate({"winogavil": res})
+    assert agg["winogavil_jaccard"] == 1.0
+
+    # tar-shard loader round trip (instance = json + <key>.<i>.jpg members)
+    from PIL import Image
+
+    shard = tmp_path / "wino-0000.tar"
+    with tf_mod.open(shard, "w") as tf:
+        for key, size in (("0000", 5), ("0001", 6)):
+            for i in range(size):
+                img = Image.fromarray(
+                    rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+                )
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tf_mod.TarInfo(f"{key}.{i}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+            meta = json.dumps(
+                {"cue": "tree", "associations": [j < 2 for j in range(size)]}
+            ).encode()
+            info = tf_mod.TarInfo(f"{key}.json")
+            info.size = len(meta)
+            tf.addfile(info, io.BytesIO(meta))
+
+    loaded = list(iter_wds_wino(str(shard), image_size=32))
+    assert [len(imgs) for imgs, _, _ in loaded] == [5, 6]
+    assert all(cue == "tree" and mask.sum() == 2 for _, cue, mask in loaded)
+
+    res_t = winogavil_task(
+        lambda px: px.reshape(px.shape[0], -1)[:, :8],
+        lambda ts: np.ones((len(ts), 8), np.float32),
+        shards=str(shard),
+        image_size=32,
+    )
+    assert 0.0 <= res_t["avg_jaccard_score"] <= 1.0
+    assert set(res_t) >= {"jaccard_score_5", "jaccard_score_6", "jaccard_score_5-6"}

@@ -99,6 +99,102 @@ def test_moe_forward_expert_parallel_mesh():
     np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
 
 
+def _toy_moe_cfg(**over):
+    base = dict(
+        n_embd=32, n_layer=1, n_head=2, n_inner=64, vocab_size=64, pad_token_id=0,
+        n_positions=16, activation_function="swiglu", num_experts=4, moe_top_k=2,
+        attn_impl="sdpa",
+    )
+    base.update(over)
+    return TrunkConfig(**base)
+
+
+def test_dropless_matches_capacity_when_nothing_drops():
+    """moe_impl='dropless' (ragged grouped matmul) and 'capacity' share
+    parameters and must agree exactly when the capacity dispatch drops no
+    tokens (cf large enough that every assignment gets a slot)."""
+    from contrastors_tpu.layers.moe import MoEMLP
+
+    cfg_d = _toy_moe_cfg(moe_impl="dropless")
+    cfg_c = _toy_moe_cfg(moe_impl="capacity", moe_capacity_factor=4.0)  # C >= N
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 32)), jnp.float32)
+    mask = np.ones((2, 8), np.int32)
+    mask[1, 6:] = 0
+    mask = jnp.asarray(mask)
+
+    m_d = MoEMLP(config=cfg_d)
+    params = m_d.init(jax.random.PRNGKey(0), x, attention_mask=mask)
+    out_d, logits_d = m_d.apply(params, x, attention_mask=mask)
+    out_c, logits_c = MoEMLP(config=cfg_c).apply(params, x, attention_mask=mask)
+
+    np.testing.assert_array_equal(np.asarray(logits_d), np.asarray(logits_c))
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_c), atol=2e-5)
+
+    # grads flow through router and experts on the dropless path
+    def loss(p):
+        o, _ = m_d.apply(p, x, attention_mask=mask)
+        return jnp.mean(o**2)
+
+    grads = jax.grad(loss)(params)
+    assert np.abs(np.asarray(grads["params"]["router"])).max() > 0
+    assert np.abs(np.asarray(grads["params"]["w_up"])).max() > 0
+
+
+def test_dropless_keeps_tokens_capacity_drops():
+    """Under extreme routing imbalance the capacity dispatch drops tokens;
+    dropless must process every assignment (megablocks dMoE semantics:
+    reference block.py:192-216). Verified against a manual dense compute."""
+    from contrastors_tpu.layers.moe import MoEMLP
+
+    cfg_d = _toy_moe_cfg(moe_impl="dropless")
+    cfg_c = _toy_moe_cfg(moe_impl="capacity", moe_capacity_factor=1.0)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 16, 32)), jnp.float32)
+    mask = jnp.ones((1, 16), jnp.int32)
+
+    m_d = MoEMLP(config=cfg_d)
+    params = m_d.init(jax.random.PRNGKey(0), x, attention_mask=mask)
+    # rig the router so every token picks experts 0 and 1 (positive x and
+    # per-expert constant columns 0.3 > 0.2 > -0.2 > -0.3): all 16 tokens
+    # route to experts {0, 1} while capacity C = 1.0*16*2/4 = 8 < 16 drops
+    params = jax.tree_util.tree_map(np.asarray, params)
+    router = np.zeros((32, 4), np.float32)
+    router[:, 0], router[:, 1], router[:, 2], router[:, 3] = 0.3, 0.2, -0.2, -0.3
+    params["params"]["router"] = router
+    x = jnp.asarray(np.abs(rng.normal(size=(1, 16, 32))), jnp.float32)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    out_d, logits = m_d.apply(params, x, attention_mask=mask)
+    out_c, _ = MoEMLP(config=cfg_c).apply(params, x, attention_mask=mask)
+    # capacity path dropped assignments -> the two disagree
+    assert not np.allclose(np.asarray(out_d), np.asarray(out_c), atol=1e-6)
+
+    # manual dense reference: every token through experts 0 and 1
+    probs = np.asarray(jax.nn.softmax(np.asarray(logits), axis=-1))
+    top2 = np.argsort(-probs, axis=-1)[:, :2]
+    assert set(top2.ravel()) == {0, 1}
+    p = params["params"]
+    xs = np.asarray(x).reshape(16, 32)
+
+    def expert(e, v):
+        import jax.nn as jnn
+
+        h = (v @ np.asarray(p["w_up"][e])) * np.asarray(
+            jnn.silu(jnp.asarray(v @ np.asarray(p["w_gate"][e])))
+        )
+        return h @ np.asarray(p["w_down"][e])
+
+    manual = np.zeros((16, 32), np.float32)
+    for t in range(16):
+        for e in top2[t]:
+            manual[t] += probs[t, e] * expert(e, xs[t])
+    manual += np.asarray(p["bias"])
+    np.testing.assert_allclose(np.asarray(out_d).reshape(16, 32), manual, atol=2e-5)
+
+
 def test_expert_choice_router_live_and_balanced():
     """expert_choice_router=True must change routing (the knob was dead in
     round 1), keep loss finite, flow grads, and give every expert exactly
