@@ -16,8 +16,9 @@ Semantics preserved from the reference:
     Switch-style load-balance loss (reference loss.py:13-73).
 
 Two dispatch implementations (config.moe_impl):
-  - "dropless" (default): assignments sorted by expert feed
-    jax.lax.ragged_dot grouped matmuls — XLA:TPU's native megablocks
+  - "dropless" (default): assignments sorted by expert with block-aligned
+    group starts feed the first-party Pallas grouped matmul
+    (ops/grouped_matmul.py; jax.lax.ragged_dot off-TPU) — the megablocks
     equivalent. No token is ever dropped, matching megablocks dMoE
     semantics exactly; compute is O(N*k) rows regardless of balance.
   - "capacity": fixed-capacity scatter/gather dispatch (Switch/Mesh-TF
@@ -109,21 +110,26 @@ class MoEMLP(nn.Module):
         top_w = top_w * valid.astype(top_w.dtype)
 
         if getattr(cfg, "moe_impl", "dropless") == "dropless":
-            # megablocks-dMoE semantics: sort the N*k (token, expert)
-            # assignments by expert and run ragged grouped matmuls
-            # (jax.lax.ragged_dot lowers to the TPU grouped-matmul path).
-            # Nothing is ever dropped; zero-weight (pad) rows still flow
-            # through the matmul but contribute nothing.
+            # megablocks-dMoE semantics: the N*k (token, expert) assignments
+            # are laid out expert-sorted with block-aligned group starts and
+            # fed to the Pallas grouped matmul (ops/grouped_matmul.py;
+            # jax.lax.ragged_dot off-TPU). Nothing is ever dropped;
+            # zero-weight (pad) rows still flow through but contribute 0.
+            from contrastors_tpu.ops.grouped_matmul import aligned_group_layout
+
+            block_m = 128
             flat_e = top_e.reshape(-1)  # [N*k]
-            flat_w = top_w.reshape(-1).astype(jnp.float32)
             token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_k)
-            order = jnp.argsort(flat_e)  # stable -> deterministic
-            src = jnp.take(token_of, order)  # source row per sorted slot
-            x_sorted = jnp.take(x, src, axis=0).astype(self.dtype)  # [N*k, D]
-            group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
-            y = self._expert_mlps_ragged(x_sorted, group_sizes, E, D, F_hid, gated, act)
-            contrib = y * jnp.take(flat_w, order)[:, None].astype(y.dtype)
-            out = jnp.zeros((N, D), contrib.dtype).at[src].add(contrib)
+            dest, group_sizes, P = aligned_group_layout(flat_e, E, block_m)
+            xs = (
+                jnp.zeros((P, D), self.dtype)
+                .at[dest]
+                .set(jnp.take(x, token_of, axis=0).astype(self.dtype))
+            )
+            y = self._expert_mlps_grouped(xs, group_sizes, E, D, F_hid, gated, act, block_m)
+            # gather each assignment's output row back and combine by weight
+            y_assign = jnp.take(y, dest, axis=0).reshape(N, top_k, D)
+            out = jnp.sum(y_assign * top_w[..., None].astype(y_assign.dtype), axis=1)
             out = self._shared_and_bias(out, x, D, F_hid, num_shared, act, cfg)
             return out.reshape(B, S, D).astype(hidden_states.dtype), router_logits_masked
 
@@ -195,17 +201,19 @@ class MoEMLP(nn.Module):
             h = act(jnp.einsum("ecd,edf->ecf", expert_in, w_in))
         return jnp.einsum("ecf,efd->ecd", h, w_down)
 
-    def _expert_mlps_ragged(self, x_sorted, group_sizes, E, D, F_hid, gated, act):
-        """Dropless expert MLPs over expert-sorted rows ([M, D], M = N*k)
-        via grouped matmuls — the TPU-native form of megablocks'
+    def _expert_mlps_grouped(self, xs, group_sizes, E, D, F_hid, gated, act, block_m):
+        """Dropless expert MLPs over block-aligned expert-sorted rows
+        ([P, D]) via grouped matmuls — the TPU-native form of megablocks'
         block-sparse expert compute (reference layers/block.py:192-216)."""
+        from contrastors_tpu.ops.grouped_matmul import gmm
+
         w_in, w_gate, w_down = self._expert_weights(E, D, F_hid, gated)
-        h = jax.lax.ragged_dot(x_sorted, w_in, group_sizes)
+        h = gmm(xs, w_in, group_sizes, block_m=block_m)
         if gated:
-            h = h * act(jax.lax.ragged_dot(x_sorted, w_gate, group_sizes))
+            h = h * act(gmm(xs, w_gate, group_sizes, block_m=block_m))
         else:
             h = act(h)
-        return jax.lax.ragged_dot(h, w_down, group_sizes)
+        return gmm(h, w_down, group_sizes, block_m=block_m)
 
     def _shared_and_bias(self, out, x, D, F_hid, num_shared, act, cfg):
         if num_shared > 0:
