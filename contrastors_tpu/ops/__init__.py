@@ -35,11 +35,14 @@ def attention_core(
     numerically interchangeable.
 
     Measured crossover on v5e (nomic-bert geometry H=12 D=64, fwd+bwd
-    attention-only TFLOP/s at a 16k-token budget, round-2 exp2 kernel):
-    S=256 SDPA 24.1 vs flash 22.3; S=512 flash 44.1 vs SDPA 26.1;
-    S=2048 flash 95.5 vs SDPA 30.3; S=4096 flash 104. Crossover sits
-    between 256 and 512, hence the >= 512 gate. impl="flash_always"
-    forces the kernel (kernel tests).
+    attention-only at a 16k-token budget; round-2b scan-amortized harness,
+    hardware-FLOPs basis 4.5x fwd): S=256 SDPA 17.5 vs flash 14.0 TF/s;
+    S=512 flash 29.1 vs SDPA 19.4; S=2048 flash 63.6 vs SDPA 25.3;
+    S=4096 flash 71.3 vs SDPA 27.0. Crossover sits between 256 and 512,
+    hence the >= 512 gate. At this head dim the kernel is VPU-bound
+    (softmax passes over S^2), not MXU-bound; it measures ~4x JAX's
+    in-tree pallas flash at the same shape (8.0 fwd / 11 fwd+bwd TF/s).
+    impl="flash_always" forces the kernel (kernel tests).
     """
     if impl in ("flash", "flash_always") and dropout_p == 0.0:
         from contrastors_tpu.ops.flash_attention import flash_attention, flash_shape_ok

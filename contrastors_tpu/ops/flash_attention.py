@@ -466,9 +466,11 @@ def flash_attention(
     """Public entry. q [B,S,H,D]; k/v [B,T,Hkv,D]; returns [B,S,H,D].
 
     Default blocks (512, 2048) are the measured optimum on v5e at S=2048
-    (fwd+bwd 95.5 TFLOP/s vs 91.9 at bq=256; S=4096 with bkv=T reaches
-    108.6): a wide kv block minimizes online-softmax correction passes,
-    and block_kv == full kv degenerates to single-pass softmax."""
+    (round-2b amortized harness, hw basis: fwd+bwd 63.6 TF/s vs 60 at
+    bq=256 or bkv=1024): a wide kv block minimizes online-softmax
+    correction passes, and block_kv == full kv degenerates to single-pass
+    softmax. At D=64 the kernel is VPU-bound (~5 elementwise passes over
+    s per block), so block tuning moves single digits only."""
     B, S, H, D = q.shape
     T = k.shape[1]
     if softmax_scale is None:
