@@ -17,7 +17,12 @@ def enable(cache_dir: str = None):
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # 2 s: every compile goes through the remote helper, so trivial
+        # dispatch ops (convert_element_type, broadcasts) land at ~1 s with
+        # jitter — a 1 s threshold persisted them nondeterministically
+        # (run-to-run "extra cache entries"; cache KEYS were always stable).
+        # Real model executables compile in minutes and always qualify.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # older jax or read-only fs: not fatal
         print(f"[compile-cache] disabled ({e})")
