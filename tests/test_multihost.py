@@ -138,6 +138,110 @@ def test_two_process_cpu_training_batch():
     raise AssertionError(f"two-process run failed:\n{last}")
 
 
+STREAM_CHILD = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:{port}", num_processes=2, process_id={pid}
+    )
+    import numpy as np
+    from jax.sharding import Mesh
+    from transformers import BertTokenizerFast
+    from contrastors_tpu.data import StreamingShardDataset
+    from contrastors_tpu.parallel.mesh import shard_batch
+
+    pid = jax.process_index()
+    assert pid == {pid} and jax.process_count() == 2
+    tok = BertTokenizerFast(vocab_file={vocab!r}, do_lower_case=True)
+    ds = StreamingShardDataset(
+        {spec!r}, global_batch_size=8, tokenizer=tok, seed=123,
+        process_index=pid, process_count=jax.process_count(),
+        state_dir={state!r} + str(pid),
+    )
+    devs = np.array(jax.devices()).reshape(-1, 1, 1)
+    mesh = Mesh(devs, ("data", "expert", "tensor"))
+    rows, names, shapes = [], [], []
+    for b in ds:
+        rows.extend(np.asarray(b["query_input_ids"]).tolist())
+        names.append(b["dataset_name"])
+        gb = shard_batch({{"q": b["query_input_ids"]}}, mesh)
+        shapes.append(list(gb["q"].shape))
+    with open({out!r} + str(pid) + ".json", "w") as f:
+        json.dump({{"rows": rows, "names": names, "shapes": shapes}}, f)
+    print("stream child", pid, "ok")
+    """
+)
+
+
+def test_two_process_streaming_windows(tmp_path):
+    """REAL two-process run of StreamingShardDataset (ROADMAP #8): each
+    process streams its own rank window under jax.distributed, assembles
+    the global batch over the shared mesh, and together the two windows
+    tile the corpus exactly (disjoint, complete, same shard order)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import make_bucket, make_tokenizer
+
+    make_tokenizer(tmp_path)  # writes vocab.txt
+    spec = make_bucket(tmp_path)
+    vocab = str(tmp_path / "vocab.txt")
+    out = str(tmp_path / "rows_rank")
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+    last = None
+    for _attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    "-c",
+                    STREAM_CHILD.format(
+                        repo=REPO, port=port, pid=pid, vocab=vocab, spec=spec,
+                        state=str(tmp_path / "state"), out=out,
+                    ),
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(2)
+        ]
+        try:
+            outs = [p.communicate(timeout=240)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            last = "timeout waiting for child processes"
+            continue
+        if all(p.returncode == 0 and "ok" in o for p, o in zip(procs, outs)):
+            break
+        last = "\n---\n".join(outs)
+    else:
+        raise AssertionError(f"two-process streaming run failed:\n{last}")
+
+    import json as json_mod
+
+    with open(out + "0.json") as f:
+        r0 = json_mod.load(f)
+    with open(out + "1.json") as f:
+        r1 = json_mod.load(f)
+    # same shard order and batch count on both ranks; global batches are
+    # full-size even though each rank holds half
+    assert r0["names"] == r1["names"] and len(r0["names"]) == 8
+    assert all(s == [8, 32] for s in r0["shapes"] + r1["shapes"])
+    rows0 = {tuple(r) for r in r0["rows"]}
+    rows1 = {tuple(r) for r in r1["rows"]}
+    assert len(rows0) == 32 and len(rows1) == 32
+    assert not rows0 & rows1, "rank windows overlap"
+
+
 def test_packed_pair_index_rank_offset(tmp_path, monkeypatch):
     """Under multi-host, packed pair_index must address this rank's slice of
     the globally assembled slot matrix (code-review finding: without the
