@@ -44,6 +44,11 @@ def main():
     parser.add_argument("--chunk", type=int, default=16)
     parser.add_argument("--per_chip_batch", type=int, default=512)
     parser.add_argument("--skip_packed", action="store_true")
+    # hybrid GradCache: all query chunks keep live activations and skip the
+    # pass-2 re-forward (r2b sweep on 16 GB v5e: q-direct 480 vs 465
+    # pairs/s; any 256-token document chunks OOM — a v5p-class HBM knob)
+    parser.add_argument("--direct_q", type=int, default=-1, help="-1 = all query chunks")
+    parser.add_argument("--direct_d", type=int, default=0)
     args = parser.parse_args()
 
     n_chips = len(jax.devices())
@@ -80,11 +85,14 @@ def main():
         loss, _ = clip_loss(q, d, lambda x: scale_mod.apply(scale_params, x))
         return loss
 
+    direct_q = (B // chunk) if args.direct_q < 0 else args.direct_q
+
     @jax.jit
     def step(params, opt_state, qb, db, rng):
         loss, g_model, g_scale = grad_cache_loss_and_grads(
             params["model"], qb, db, encode, encode, loss_fn,
             chunk_size=chunk, rng=rng, extra_params=params["logit_scale"],
+            direct_chunks=direct_q, direct_chunks_d=args.direct_d,
         )
         grads = {"model": g_model, "logit_scale": g_scale}
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -209,6 +217,8 @@ def main():
                     "n_chips": n_chips,
                     "per_chip_batch": per_chip_batch,
                     "chunk": chunk,
+                    "direct_q": direct_q,
+                    "direct_d": args.direct_d,
                     "step_ms": round(dt * 1000, 1),
                     "loss": float(loss),
                     "params_m": round(n_params / 1e6, 1),

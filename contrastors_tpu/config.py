@@ -58,6 +58,13 @@ class TrainArgs(_Base):
     loss_fn: Optional[str] = None
     grad_cache: Optional[bool] = None
     chunk_size: Optional[int] = None
+    # TPU extension: hybrid GradCache — leading chunks of each tower keep
+    # live activations (jax.vjp) and skip the pass-2 re-forward (6*P*T
+    # instead of 8*P*T for that fraction). Bounded by HBM: on 16 GB v5e
+    # the 137M flagship fits all query chunks (+3% step) but no 256-token
+    # document chunks; on v5p there is room for documents too.
+    grad_cache_direct_chunks_q: int = 0
+    grad_cache_direct_chunks_d: int = 0
     clamp_logits: bool = True
     logit_max: float = 100.0
     add_l2_loss: bool = False

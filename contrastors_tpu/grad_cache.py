@@ -57,6 +57,8 @@ def grad_cache_loss_and_grads(
     d_trainable: bool = True,
     extra_params: Any = None,
     chunk_size_d: Optional[int] = None,
+    direct_chunks: int = 0,
+    direct_chunks_d: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Any]:
     """Returns (loss, param_grads) — or (loss, param_grads, extra_grads)
     when extra_params is given (loss-stage parameters such as a trainable
@@ -69,7 +71,20 @@ def grad_cache_loss_and_grads(
     loss_fn(q_embs, d_embs) -> scalar on the FULL local embeddings (it may
     all_gather internally under shard_map, or operate on global arrays
     under pjit).
+
+    direct_chunks / direct_chunks_d: hybrid mode — the LEADING k chunks of
+    each tower are encoded once with live activations (jax.vjp residuals
+    held in HBM) and receive their loss cotangent directly, skipping the
+    pass-2 re-forward; the remaining chunks use the two-pass cache. This
+    trades memory for the structural recompute: the direct fraction costs
+    6*P*T instead of 8*P*T per pair. Gradients stay exact for any split
+    (unit-tested). Requires router_aux_coef == 0 for the direct part.
     """
+    if (direct_chunks or direct_chunks_d) and router_aux_coef:
+        raise ValueError(
+            "direct_chunks requires router_aux_coef == 0 (the direct path "
+            "carries no per-chunk aux surrogate); keep MoE towers fully cached"
+        )
     if rng is None:
         rng = jax.random.PRNGKey(0)
     rng_q, rng_d = jax.random.split(rng)
@@ -80,24 +95,60 @@ def grad_cache_loss_and_grads(
     d_chunks = _split_chunks(d_batch, chunk_size_d or chunk_size)
     n_q = jax.tree_util.tree_leaves(q_chunks)[0].shape[0]
     n_d = jax.tree_util.tree_leaves(d_chunks)[0].shape[0]
+    k_q = min(int(direct_chunks), n_q)
+    k_d = min(int(direct_chunks if direct_chunks_d is None else direct_chunks_d), n_d)
 
-    # ---- pass 1: chunked no-grad embeddings --------------------------------
-    def embed(encode, base_rng):
+    def lead_flat(chunks, k):
+        # leading k chunks flattened to one batch (bigger matmuls, one vjp)
+        return jax.tree_util.tree_map(
+            lambda x: x[:k].reshape(k * x.shape[1], *x.shape[2:]), chunks
+        )
+
+    def rest(chunks, k):
+        return jax.tree_util.tree_map(lambda x: x[k:], chunks)
+
+    # ---- direct part: one forward with live activations --------------------
+    def direct_embed(encode, base_rng, chunks, k, n_total):
+        if k == 0:
+            return None, None
+
+        def f(p):
+            # a distinct key one past the cached chunk index range
+            out = encode(p, lead_flat(chunks, k), jax.random.fold_in(base_rng, n_total))
+            return out["embedding"]
+
+        embs, vjp_fn = jax.vjp(f, params)
+        return embs, vjp_fn
+
+    q_direct, q_vjp = direct_embed(encode_q, rng_q, q_chunks, k_q, n_q)
+    d_direct, d_vjp = direct_embed(encode_d, rng_d, d_chunks, k_d, n_d)
+    q_cached_chunks = rest(q_chunks, k_q)
+    d_cached_chunks = rest(d_chunks, k_d)
+
+    # ---- pass 1: chunked no-grad embeddings (cached part) ------------------
+    def embed(encode, base_rng, offset):
         def one(i_and_chunk):
             i, chunk = i_and_chunk
             out = encode(params, chunk, jax.random.fold_in(base_rng, i))
             return out["embedding"]
 
         def run(chunks, n):
-            idx = jnp.arange(n)
+            idx = jnp.arange(n) + offset
             return jax.lax.map(one, (idx, chunks))
 
         return run
 
-    q_embs = embed(encode_q, rng_q)(q_chunks, n_q)  # [n_q, c, D]
-    q_embs = jax.lax.stop_gradient(q_embs).reshape(-1, q_embs.shape[-1])
-    d_embs = embed(encode_d, rng_d)(d_chunks, n_d)
-    d_embs = jax.lax.stop_gradient(d_embs).reshape(-1, d_embs.shape[-1])
+    def tower_embs(encode, base_rng, cached_chunks, k, n, direct):
+        parts = []
+        if direct is not None:
+            parts.append(jax.lax.stop_gradient(direct))
+        if n - k > 0:
+            e = embed(encode, base_rng, k)(cached_chunks, n - k)  # [n-k, c, D]
+            parts.append(jax.lax.stop_gradient(e).reshape(-1, e.shape[-1]))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    q_embs = tower_embs(encode_q, rng_q, q_cached_chunks, k_q, n_q, q_direct)
+    d_embs = tower_embs(encode_d, rng_d, d_cached_chunks, k_d, n_d, d_direct)
 
     # ---- loss on full embeddings, grads wrt embeddings ---------------------
     extra_grads = None
@@ -107,15 +158,23 @@ def grad_cache_loss_and_grads(
         )
     else:
         loss, (gq, gd) = jax.value_and_grad(loss_fn, argnums=(0, 1))(q_embs, d_embs)
-    # per-chunk embedding count can differ from chunk_size (packed batches:
-    # chunk rows each yield max_segments slot embeddings) — infer it
-    gq = gq.reshape(n_q, -1, gq.shape[-1])
-    gd = gd.reshape(n_d, -1, gd.shape[-1])
+    # split cotangents into the direct part (applied straight through the
+    # held vjp) and the cached part; per-chunk embedding count can differ
+    # from chunk_size (packed batches: chunk rows each yield max_segments
+    # slot embeddings) — infer it from the shapes
+    nq_direct = 0 if q_direct is None else q_direct.shape[0]
+    nd_direct = 0 if d_direct is None else d_direct.shape[0]
+    gq_direct, gq = gq[:nq_direct], gq[nq_direct:]
+    gd_direct, gd = gd[:nd_direct], gd[nd_direct:]
+    if n_q - k_q > 0:
+        gq = gq.reshape(n_q - k_q, -1, gq.shape[-1])
+    if n_d - k_d > 0:
+        gd = gd.reshape(n_d - k_d, -1, gd.shape[-1])
 
-    # ---- pass 2: replay chunks, accumulate parameter grads -----------------
+    # ---- pass 2: replay cached chunks, accumulate parameter grads ----------
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
 
-    def accumulate(encode, base_rng, chunks, cotangents, acc):
+    def accumulate(encode, base_rng, chunks, cotangents, acc, offset):
         def body(acc, xs):
             i, chunk, cot = xs
 
@@ -132,12 +191,21 @@ def grad_cache_loss_and_grads(
             return acc, None
 
         n = jax.tree_util.tree_leaves(chunks)[0].shape[0]
-        acc, _ = jax.lax.scan(body, acc, (jnp.arange(n), chunks, cotangents))
+        if n == 0:
+            return acc
+        acc, _ = jax.lax.scan(body, acc, (jnp.arange(n) + offset, chunks, cotangents))
         return acc
 
-    grads = accumulate(encode_q, rng_q, q_chunks, gq, zero_grads)
+    grads = zero_grads
+    if q_vjp is not None:
+        (g_direct,) = q_vjp(gq_direct.astype(q_direct.dtype))
+        grads = jax.tree_util.tree_map(jnp.add, grads, g_direct)
+    grads = accumulate(encode_q, rng_q, q_cached_chunks, gq, grads, k_q)
     if d_trainable:
-        grads = accumulate(encode_d, rng_d, d_chunks, gd, grads)
+        if d_vjp is not None:
+            (g_direct,) = d_vjp(gd_direct.astype(d_direct.dtype))
+            grads = jax.tree_util.tree_map(jnp.add, grads, g_direct)
+        grads = accumulate(encode_d, rng_d, d_cached_chunks, gd, grads, k_d)
 
     if extra_params is not None:
         return loss, grads, extra_grads

@@ -221,6 +221,10 @@ class TextTextTrainer(BaseTrainer):
 
         if ta.grad_cache:
             chunk = ta.chunk_size or 64
+            # hybrid direct mode is incompatible with the per-chunk MoE aux
+            # surrogate; silently fall back to fully-cached for MoE towers
+            direct_q = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_q", 0)
+            direct_d = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_d", 0)
 
             def encode(model_params, chunk_batch, chunk_rng):
                 out = self._encode(
@@ -297,6 +301,8 @@ class TextTextTrainer(BaseTrainer):
                         packed_loss, chunk_size=chunk_rows, rng=rng,
                         router_aux_coef=aux_coef if use_moe else 0.0,
                         extra_params=params["logit_scale"],
+                        direct_chunks=direct_q,
+                        direct_chunks_d=direct_d,
                     )
                 else:
                     qb = {"input_ids": batch["query_input_ids"], "attention_mask": batch["query_attention_mask"]}
@@ -312,6 +318,8 @@ class TextTextTrainer(BaseTrainer):
                         rng=rng,
                         router_aux_coef=aux_coef if use_moe else 0.0,
                         extra_params=params["logit_scale"],
+                        direct_chunks=direct_q,
+                        direct_chunks_d=direct_d,
                     )
                 grads = {"model": grads_model, "logit_scale": grads_scale}
                 updates, new_opt = self.tx.update(grads, opt_state, params)

@@ -74,6 +74,50 @@ def test_grad_cache_matches_naive():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, err_msg=str(p1))
 
 
+def test_grad_cache_hybrid_direct_matches_naive():
+    """Hybrid mode (leading chunks via live-activation vjp, rest cached)
+    stays exactly equal to the naive full-batch gradients for every split,
+    including all-direct and asymmetric q/d splits."""
+    model, params, encode, batch = _setup()
+
+    def loss_fn(q, d):
+        return clip_loss(q, d, lambda x: x * 10.0)[0]
+
+    def naive(p):
+        q = encode(p, batch, None)["embedding"]
+        d = encode(p, batch, None)["embedding"]
+        return loss_fn(q, d)
+
+    naive_loss, naive_grads = jax.value_and_grad(naive)(params)
+
+    for kq, kd in ((1, 1), (4, 4), (2, 0), (0, 3)):
+        gc_loss, gc_grads = jax.jit(
+            lambda p, kq=kq, kd=kd: grad_cache_loss_and_grads(
+                p, batch, batch, encode, encode, loss_fn, chunk_size=4,
+                direct_chunks=kq, direct_chunks_d=kd,
+            )
+        )(params)
+        np.testing.assert_allclose(float(gc_loss), float(naive_loss), rtol=1e-5)
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(naive_grads),
+            jax.tree_util.tree_leaves_with_path(gc_grads),
+        ):
+            assert p1 == p2
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"direct=({kq},{kd}) {p1}",
+            )
+
+    # the aux-loss guard: direct mode refuses MoE surrogate coupling
+    import pytest
+
+    with pytest.raises(ValueError, match="router_aux_coef"):
+        grad_cache_loss_and_grads(
+            params, batch, batch, encode, encode, loss_fn, chunk_size=4,
+            direct_chunks=1, router_aux_coef=0.01,
+        )
+
+
 def test_grad_cache_sharded_matches_global_naive():
     """GradCache under shard_map over 8 devices (embeddings gathered in the
     loss) == single-device full-batch gradients."""
