@@ -49,6 +49,7 @@ def main():
     # pairs/s; any 256-token document chunks OOM — a v5p-class HBM knob)
     parser.add_argument("--direct_q", type=int, default=-1, help="-1 = all query chunks")
     parser.add_argument("--direct_d", type=int, default=0)
+    parser.add_argument("--skip_mlm", action="store_true")
     args = parser.parse_args()
 
     n_chips = len(jax.devices())
@@ -115,6 +116,7 @@ def main():
         params, opt_state, loss = step(params, opt_state, qb, db, jax.random.PRNGKey(i))
         _ = float(loss)
     dt = (time.perf_counter() - t0) / iters
+    headline_loss = float(loss)
 
     pairs_per_sec_chip = B / dt / n_chips
     tokens_per_pair = q_len + d_len
@@ -201,6 +203,64 @@ def main():
             "row_len": Ld,
         }
 
+    # -- secondary: MLM pretrain step at seq 2048 (the nomic-bert-2048
+    # recipe, reference configs/train/mlm.yaml) — the workload that runs
+    # the Pallas flash kernel (kv 2048 >= the 512 dispatch gate)
+    mlm_detail = None
+    if not args.skip_mlm:
+        # free the contrastive state first: with it resident, the no-remat
+        # MLM step thrashes HBM (measured 429 tok/s vs 66k clean)
+        import gc
+
+        del params, opt_state, loss
+        gc.collect()
+        from contrastors_tpu.models.nomic_bert import NomicBertForPreTraining
+        from contrastors_tpu.trainers.mlm import dense_budget, masked_positions_static
+
+        # remat off: B=8 x S=2048 activations fit 16 GB v5e once the vocab
+        # head only projects the masked budget (52.4k tok/s remat -> 66.2k)
+        mlm_model = NomicBertForPreTraining(config=cfg, dtype=jnp.bfloat16, remat=False)
+        Bm, Sm, mlm_p = 8, 2048, 0.30
+        m_ids = jnp.asarray(rng.integers(5, 30000, size=(Bm, Sm)), jnp.int32)
+        m_mask = jnp.ones_like(m_ids)
+        m_labels = np.full((Bm, Sm), -100, np.int32)
+        mask_pos = rng.random((Bm, Sm)) < mlm_p
+        m_labels[mask_pos] = np.asarray(rng.integers(5, 30000, size=int(mask_pos.sum())))
+        # dense_seq_output: vocab head runs on the static masked budget only
+        m_pos, m_lab = masked_positions_static(m_labels, dense_budget(Bm * Sm, mlm_p))
+        m_pos, m_lab = jnp.asarray(m_pos), jnp.asarray(m_lab)
+        m_params = mlm_model.init(key, m_ids[:1], attention_mask=m_mask[:1])
+        m_tx = make_optimizer(m_params, 5e-4, weight_decay=0.01, max_grad_norm=1.0)
+        m_opt = m_tx.init(m_params)
+
+        @jax.jit
+        def mlm_step(p, o, ids, mask, pos, lab):
+            def lf(p):
+                return mlm_model.apply(
+                    p, ids, attention_mask=mask, labels=lab, masked_positions=pos
+                )["loss"]
+
+            l, g = jax.value_and_grad(lf)(p)
+            updates, o = m_tx.update(g, o, p)
+            return optax.apply_updates(p, updates), o, l
+
+        m_params, m_opt, ml = mlm_step(m_params, m_opt, m_ids, m_mask, m_pos, m_lab)
+        _ = float(ml)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            m_params, m_opt, ml = mlm_step(m_params, m_opt, m_ids, m_mask, m_pos, m_lab)
+            _ = float(ml)
+        dt_m = (time.perf_counter() - t0) / iters
+        mlm_tps = Bm * Sm / dt_m
+        n_mlm = sum(x.size for x in jax.tree_util.tree_leaves(m_params))
+        mlm_detail = {
+            "mlm_tokens_per_sec_chip": round(mlm_tps, 0),
+            "mlm_step_ms": round(dt_m * 1000, 1),
+            "mlm_seq_len": Sm,
+            "mlm_mfu_model_6pt": round(6 * n_mlm * mlm_tps / 1e12 / peak_tflops, 3),
+            "mlm_loss": float(ml),
+        }
+
     result = {
         "metric": "contrastive_pairs_per_sec_per_chip_16k_batch",
         "value": round(pairs_per_sec_chip, 2),
@@ -220,12 +280,13 @@ def main():
                     "direct_q": direct_q,
                     "direct_d": args.direct_d,
                     "step_ms": round(dt * 1000, 1),
-                    "loss": float(loss),
+                    "loss": headline_loss,
                     "params_m": round(n_params / 1e6, 1),
                     "hw_tflops_per_chip": round(hw_tflops, 1),
                     "mfu_hw_8pt": round(mfu_hw, 3),
                     "mfu_model_6pt": round(mfu_model, 3),
                     **({"packed": packed_detail} if packed_detail else {}),
+                    **({"mlm": mlm_detail} if mlm_detail else {}),
                 }
             }
         ),

@@ -50,3 +50,48 @@ def evaluate_retrieval(
         out[f"ndcg@{k}"] = ndcg_at_k(ranked, relevant, k=k)
         out[f"recall@{k}"] = recall_at_k(ranked, relevant, k=k)
     return out
+
+
+def main():
+    """Standalone BEIR-style retrieval eval over local BEIR-format dirs
+    (the reference's eval/eval_beir.py role: eval_beir.py:182-267; the
+    multiprocess EncoderWorker pool becomes one jitted SPMD encoder).
+    For >max_trained_positions lengths use eval_long_context (DynamicNTK).
+    """
+    import argparse
+    import json
+    import os
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name", required=True, help="local HF model dir")
+    parser.add_argument("--data", required=True, nargs="+", help="BEIR-format dirs")
+    parser.add_argument("--seq_len", type=int, default=512)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--ks", type=int, nargs="+", default=[10, 100])
+    parser.add_argument("--output", default=None)
+    args = parser.parse_args()
+
+    from contrastors_tpu.eval.eval_long_context import (
+        build_long_context_encoder,
+        load_beir_dir,
+    )
+
+    enc = build_long_context_encoder(
+        args.model_name, seq_len=args.seq_len, batch_size=args.batch_size
+    )
+    results = {}
+    for path in args.data:
+        corpus, queries, qrels = load_beir_dir(path)
+        res = evaluate_retrieval(enc, corpus, queries, qrels, ks=tuple(args.ks))
+        results[os.path.basename(path)] = res
+        print(f"{os.path.basename(path)}: {json.dumps(res)}")
+    key = f"ndcg@{args.ks[0]}"
+    results["avg"] = {key: float(np.mean([r[key] for r in results.values()]))}
+    print(f"avg {key}: {results['avg'][key]:.4f}")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,7 @@ class DecoderModel(nn.Module):
                     hidden, hidden2, residual, attention_mask, segment_ids, position_ids, deterministic
                 )
         else:
-            block_cls = nn.remat(Block, static_argnums=(6,)) if self.remat else Block
+            block_cls = nn.remat(Block, static_argnums=(7,)) if self.remat else Block
             hidden2 = None
             for i in range(cfg.n_layer):
                 hidden, residual, _ = block_cls(config=cfg, dtype=self.dtype, name=f"layers_{i}")(

@@ -97,8 +97,10 @@ class TrunkConfig:
     pad_token_id: Optional[int] = None
     pad_vocab_size_multiple: int = 1
 
-    # MLM head details
-    dense_seq_output: bool = False
+    # MLM head details. dense_seq_output mirrors the reference default
+    # (configuration_nomic_bert.py:26): project only masked rows through
+    # the vocab head (host-collated static-count positions on TPU).
+    dense_seq_output: bool = True
     tie_word_embeddings: bool = True
     num_labels: int = 2
     classifier_dropout: Optional[float] = None

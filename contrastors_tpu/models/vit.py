@@ -35,7 +35,7 @@ class ViTModel(nn.Module):
 
         dpr = np.linspace(0.0, cfg.drop_path_rate, cfg.n_layer)
         residual = None
-        block_cls = nn.remat(Block, static_argnums=(6,)) if self.remat else Block
+        block_cls = nn.remat(Block, static_argnums=(7,)) if self.remat else Block
         for i in range(cfg.n_layer):
             hidden, residual, _ = block_cls(
                 config=cfg,

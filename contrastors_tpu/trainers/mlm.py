@@ -45,6 +45,29 @@ def mlm_mask(
     return out, labels
 
 
+def masked_positions_static(labels: np.ndarray, k: int):
+    """dense_seq_output collation: flat indices of the masked positions,
+    padded/truncated to a STATIC k (XLA static shapes; the reference
+    gathers a dynamic count, modeling_nomic_bert.py:649-653). Filler
+    slots point at position 0 with label -100 (zero loss weight)."""
+    flat = labels.reshape(-1)
+    pos = np.flatnonzero(flat >= 0)
+    if len(pos) > k:  # 4-sigma budget: ~never; drop the tail if it happens
+        pos = pos[:k]
+    out_pos = np.zeros(k, np.int32)
+    out_lab = np.full(k, -100, np.int32)
+    out_pos[: len(pos)] = pos
+    out_lab[: len(pos)] = flat[pos]
+    return out_pos, out_lab
+
+
+def dense_budget(n_tokens: int, prob: float) -> int:
+    """Static masked-position budget: mean + 4 sigma, rounded up to 128."""
+    mean = n_tokens * prob
+    sigma = (n_tokens * prob * (1 - prob)) ** 0.5
+    return max(128, int(-(-(mean + 4 * sigma) // 128) * 128))
+
+
 class MLMTrainer(BaseTrainer):
     def get_model(self):
         margs = self.config.model_args
@@ -104,6 +127,9 @@ class MLMTrainer(BaseTrainer):
         mlm_prob = dargs.mlm_prob
 
         def iterate():
+            # evaluated lazily: get_dataloaders runs before get_model sets
+            # trunk_config, but iteration starts after init completes
+            dense = getattr(getattr(self, "trunk_config", None), "dense_seq_output", False)
             order = rng.permutation(len(ds))
             for b in range(steps):
                 idx = order[b * batch : (b + 1) * batch]
@@ -112,13 +138,19 @@ class MLMTrainer(BaseTrainer):
                 masked, labels = mlm_mask(
                     ids, mlm_prob, tok.mask_token_id, len(tok), special, rng
                 )
-                yield {
+                out = {
                     "input_ids": masked,
                     "attention_mask": np.asarray(
                         rows.get("attention_mask", np.ones_like(ids)), dtype=np.int32
                     ),
                     "labels": labels.astype(np.int32),
                 }
+                if dense:
+                    k = dense_budget(ids.size, mlm_prob)
+                    pos, lab = masked_positions_static(labels, k)
+                    out["masked_positions"] = pos
+                    out["labels"] = lab
+                yield out
 
         class _Loader:
             def __iter__(self):
@@ -133,6 +165,7 @@ class MLMTrainer(BaseTrainer):
                 batch["input_ids"],
                 attention_mask=batch["attention_mask"],
                 labels=batch["labels"],
+                masked_positions=batch.get("masked_positions"),
                 deterministic=False,
                 rngs={"dropout": rng},
             )
@@ -150,6 +183,8 @@ class MLMTrainer(BaseTrainer):
         special = set(tok.all_special_ids)
         losses = []
 
+        dense = getattr(self.trunk_config, "dense_seq_output", False)
+
         @jax.jit
         def eval_step(params, b):
             out = self.model.apply(
@@ -157,6 +192,7 @@ class MLMTrainer(BaseTrainer):
                 b["input_ids"],
                 attention_mask=b["attention_mask"],
                 labels=b["labels"],
+                masked_positions=b.get("masked_positions"),
                 deterministic=True,
             )
             return out["loss"]
@@ -165,14 +201,19 @@ class MLMTrainer(BaseTrainer):
         for i in range(n):
             rows = self._val[list(range(i * batch, (i + 1) * batch))]
             ids = np.asarray(rows["input_ids"], dtype=np.int32)
+            val_prob = dargs.val_mlm_prob or dargs.mlm_prob
             masked, labels = mlm_mask(
-                ids, dargs.val_mlm_prob or dargs.mlm_prob, tok.mask_token_id, len(tok), special, rng
+                ids, val_prob, tok.mask_token_id, len(tok), special, rng
             )
             b = {
                 "input_ids": jnp.asarray(masked),
                 "attention_mask": jnp.asarray(rows.get("attention_mask", np.ones_like(ids)), dtype=jnp.int32),
                 "labels": jnp.asarray(labels),
             }
+            if dense:
+                pos, lab = masked_positions_static(labels, dense_budget(ids.size, val_prob))
+                b["masked_positions"] = jnp.asarray(pos)
+                b["labels"] = jnp.asarray(lab)
             losses.append(float(eval_step(self.params, b)))
         loss = float(np.mean(losses))
         return {"val_loss": loss, "val_perplexity": float(np.exp(loss))}

@@ -113,6 +113,60 @@ def test_mlm_head_parity():
     assert err < 5e-5, f"mlm logits err {err}"
 
 
+def test_dense_seq_output_loss_equals_full_ce():
+    """dense_seq_output (project only masked rows, reference
+    modeling_nomic_bert.py:649-664) must produce exactly the same loss as
+    the full-position label-masked CE, including -100 filler slots."""
+    import jax
+    import jax.numpy as jnp
+    from contrastors_tpu.models.model_config import TrunkConfig
+    from contrastors_tpu.models.nomic_bert import NomicBertForPreTraining
+    from contrastors_tpu.trainers.mlm import dense_budget, masked_positions_static
+
+    cfg = TrunkConfig(
+        n_embd=32, n_layer=2, n_head=2, n_inner=64, vocab_size=96, pad_token_id=0,
+        n_positions=32, attn_impl="sdpa",
+    )
+    model = NomicBertForPreTraining(config=cfg)
+    rng = np.random.default_rng(0)
+    B, S = 4, 16
+    ids = jnp.asarray(rng.integers(5, 90, size=(B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    labels = np.full((B, S), -100, np.int32)
+    masked = rng.random((B, S)) < 0.3
+    labels[masked] = rng.integers(5, 90, size=int(masked.sum()))
+    params = model.init(jax.random.PRNGKey(0), ids, mask)
+
+    full = model.apply(params, ids, attention_mask=mask, labels=jnp.asarray(labels))
+    k = dense_budget(B * S, 0.3)
+    pos, lab = masked_positions_static(labels, k)
+    dense = model.apply(
+        params, ids, attention_mask=mask,
+        labels=jnp.asarray(lab), masked_positions=jnp.asarray(pos),
+    )
+    np.testing.assert_allclose(float(dense["loss"]), float(full["loss"]), rtol=1e-6)
+    # the dense head only projects k rows
+    assert dense["prediction_logits"].shape == (k, cfg.vocab_size)
+
+    # grads agree too (head fraction of the step is what the path changes)
+    def loss_full(p):
+        return model.apply(p, ids, attention_mask=mask, labels=jnp.asarray(labels))["loss"]
+
+    def loss_dense(p):
+        return model.apply(
+            p, ids, attention_mask=mask,
+            labels=jnp.asarray(lab), masked_positions=jnp.asarray(pos),
+        )["loss"]
+
+    gf = jax.grad(loss_full)(params)
+    gd = jax.grad(loss_dense)(params)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(gf), jax.tree_util.tree_leaves_with_path(gd)
+    ):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, err_msg=str(p1))
+
+
 def test_xlmr_parity():
     torch.manual_seed(0)
     hf = XLMRobertaModel(
