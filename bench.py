@@ -227,7 +227,7 @@ def main():
         mask_pos = rng.random((Bm, Sm)) < mlm_p
         m_labels[mask_pos] = np.asarray(rng.integers(5, 30000, size=int(mask_pos.sum())))
         # dense_seq_output: vocab head runs on the static masked budget only
-        m_pos, m_lab = masked_positions_static(m_labels, dense_budget(Bm * Sm, mlm_p))
+        m_pos, m_lab = masked_positions_static(m_labels, dense_budget(Sm, mlm_p))
         m_pos, m_lab = jnp.asarray(m_pos), jnp.asarray(m_lab)
         m_params = mlm_model.init(key, m_ids[:1], attention_mask=m_mask[:1])
         m_tx = make_optimizer(m_params, 5e-4, weight_decay=0.01, max_grad_norm=1.0)

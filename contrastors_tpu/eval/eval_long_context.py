@@ -85,21 +85,16 @@ def main():
     parser.add_argument("--seq_len", type=int, default=8192)
     parser.add_argument("--rotary_scaling_factor", type=float, default=2.0)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--ks", type=int, nargs="+", default=[10])
+    parser.add_argument("--output", default=None)
     args = parser.parse_args()
 
-    from contrastors_tpu.eval.retrieval import evaluate_retrieval
+    from contrastors_tpu.eval.retrieval import run_beir_dirs
 
     enc = build_long_context_encoder(
         args.model_name, args.seq_len, args.rotary_scaling_factor, args.batch_size
     )
-    scores = []
-    for path in args.data:
-        corpus, queries, qrels = load_beir_dir(path)
-        res = evaluate_retrieval(enc, corpus, queries, qrels, ks=(10,))
-        print(f"{os.path.basename(path)}: {json.dumps(res)}")
-        scores.append(res["ndcg@10"])
-    if scores:
-        print(f"avg ndcg@10: {sum(scores) / len(scores):.4f}")
+    run_beir_dirs(enc, args.data, ks=args.ks, output=args.output)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,34 @@ def evaluate_retrieval(
     return out
 
 
+def run_beir_dirs(enc, dirs, ks=(10, 100), output=None):
+    """Evaluate an Encoder over local BEIR-format dirs, print per-dataset
+    scores and the average, optionally dump JSON. Shared by this module's
+    CLI and eval_long_context's (which differs only in NTK defaults)."""
+    import json
+    import os
+
+    from contrastors_tpu.eval.eval_long_context import load_beir_dir
+
+    results = {}
+    for path in dirs:
+        corpus, queries, qrels = load_beir_dir(path)
+        res = evaluate_retrieval(enc, corpus, queries, qrels, ks=tuple(ks))
+        name = os.path.basename(os.path.normpath(path))
+        while name in results:  # duplicate basenames must not collide
+            name += "+"
+        results[name] = res
+        print(f"{name}: {json.dumps(res)}")
+    key = f"ndcg@{ks[0]}"
+    avg = float(np.mean([r[key] for r in results.values()]))
+    results["avg"] = {key: avg}
+    print(f"avg {key}: {avg:.4f}")
+    if output:
+        with open(output, "w") as f:
+            json.dump(results, f, indent=2)
+    return results
+
+
 def main():
     """Standalone BEIR-style retrieval eval over local BEIR-format dirs
     (the reference's eval/eval_beir.py role: eval_beir.py:182-267; the
@@ -59,8 +87,6 @@ def main():
     For >max_trained_positions lengths use eval_long_context (DynamicNTK).
     """
     import argparse
-    import json
-    import os
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_name", required=True, help="local HF model dir")
@@ -71,26 +97,12 @@ def main():
     parser.add_argument("--output", default=None)
     args = parser.parse_args()
 
-    from contrastors_tpu.eval.eval_long_context import (
-        build_long_context_encoder,
-        load_beir_dir,
-    )
+    from contrastors_tpu.eval.eval_long_context import build_long_context_encoder
 
     enc = build_long_context_encoder(
         args.model_name, seq_len=args.seq_len, batch_size=args.batch_size
     )
-    results = {}
-    for path in args.data:
-        corpus, queries, qrels = load_beir_dir(path)
-        res = evaluate_retrieval(enc, corpus, queries, qrels, ks=tuple(args.ks))
-        results[os.path.basename(path)] = res
-        print(f"{os.path.basename(path)}: {json.dumps(res)}")
-    key = f"ndcg@{args.ks[0]}"
-    results["avg"] = {key: float(np.mean([r[key] for r in results.values()]))}
-    print(f"avg {key}: {results['avg'][key]:.4f}")
-    if args.output:
-        with open(args.output, "w") as f:
-            json.dump(results, f, indent=2)
+    run_beir_dirs(enc, args.data, ks=args.ks, output=args.output)
 
 
 if __name__ == "__main__":

@@ -106,12 +106,14 @@ class NomicBertForPreTraining(nn.Module):
       - default: label-masked CE over all positions (static shapes, -100
         ignored) — identical loss value to the reference;
       - dense_seq_output (reference 649-664): pass `masked_positions`
-        (flat [K] indices into B*S, host-collated to a STATIC count with
-        -100-labelled filler slots) and `labels` as the matching [K]
-        vector — the vocab projection then runs on K rows instead of B*S
-        (~3x fewer head FLOPs at mlm_prob 0.30). The reference gathers a
-        dynamic count per batch; a fixed K is the TPU-native equivalent
-        (XLA requires static shapes)."""
+        ([B, k] per-row indices into the sequence dim, host-collated to a
+        STATIC per-row count with -100-labelled filler slots) and `labels`
+        as the matching [B, k] matrix — the vocab projection then runs on
+        B*k rows instead of B*S (~3x fewer head FLOPs at mlm_prob 0.30).
+        The reference gathers a dynamic count per batch; a fixed per-row k
+        is the TPU-native equivalent (XLA requires static shapes), and
+        per-row indexing keeps the gather local to each batch row so the
+        batch ("data") sharding axis passes straight through."""
 
     config: TrunkConfig
     dtype: jnp.dtype = jnp.float32
@@ -141,8 +143,9 @@ class NomicBertForPreTraining(nn.Module):
         )
         hidden = outputs["last_hidden_state"]
         if masked_positions is not None:
-            # dense_seq_output: project only the masked rows
-            hidden = hidden.reshape(-1, hidden.shape[-1])[masked_positions]
+            # dense_seq_output: project only the masked rows, gathered
+            # per batch row ([B, k] indices -> [B, k, D])
+            hidden = jnp.take_along_axis(hidden, masked_positions[:, :, None], axis=1)
 
         # transform: dense -> act -> LN (reference modeling_nomic_bert.py:417-454)
         act = jax.nn.silu if cfg.activation_function == "swiglu" else ACT2FN[cfg.activation_function]

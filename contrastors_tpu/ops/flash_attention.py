@@ -243,16 +243,19 @@ def _fwd_kernel_single(
     # the two units; the serial QK -> softmax -> PV chain otherwise leaves
     # the MXU idle during every softmax pass.
     sub = 256
-    if block_q <= sub:
+    # offsets cover ALL of block_q including a trailing remainder sub-block
+    # (block_q is a multiple of 128, not necessarily of `sub` — e.g. 384)
+    offs = list(range(0, block_q, sub))
+    sizes = [min(sub, block_q - lo) for lo in offs]
+    if len(offs) == 1:
         finish(qk(0, block_q), 0, block_q)
     else:
-        n_sub = block_q // sub
-        s_prev = qk(0, sub)
-        for h in range(1, n_sub):
-            s_next = qk(h * sub, sub)
-            finish(s_prev, (h - 1) * sub, sub)
+        s_prev = qk(offs[0], sizes[0])
+        for h in range(1, len(offs)):
+            s_next = qk(offs[h], sizes[h])
+            finish(s_prev, offs[h - 1], sizes[h - 1])
             s_prev = s_next
-        finish(s_prev, (n_sub - 1) * sub, sub)
+        finish(s_prev, offs[-1], sizes[-1])
 
 
 def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
@@ -277,7 +280,6 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
             window=window,
         )
         scratch = []
-        dims = ("parallel", "parallel", "parallel", "arbitrary")
     else:
         kernel = functools.partial(
             _fwd_kernel,
@@ -294,7 +296,6 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ]
-        dims = ("parallel", "parallel", "parallel", "arbitrary")
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -308,7 +309,9 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
             jax.ShapeDtypeStruct((B, H, 1, S), jnp.float32),
         ],
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(dimension_semantics=dims),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
+        ),
         interpret=_use_interpret(),
     )(seg_q, seg_kv, q, k, v)
     return out, lse

@@ -46,25 +46,30 @@ def mlm_mask(
 
 
 def masked_positions_static(labels: np.ndarray, k: int):
-    """dense_seq_output collation: flat indices of the masked positions,
-    padded/truncated to a STATIC k (XLA static shapes; the reference
-    gathers a dynamic count, modeling_nomic_bert.py:649-653). Filler
-    slots point at position 0 with label -100 (zero loss weight)."""
-    flat = labels.reshape(-1)
-    pos = np.flatnonzero(flat >= 0)
-    if len(pos) > k:  # 4-sigma budget: ~never; drop the tail if it happens
-        pos = pos[:k]
-    out_pos = np.zeros(k, np.int32)
-    out_lab = np.full(k, -100, np.int32)
-    out_pos[: len(pos)] = pos
-    out_lab[: len(pos)] = flat[pos]
+    """dense_seq_output collation: per-row indices of the masked positions
+    ([B, S] labels -> [B, k] positions + [B, k] labels), padded/truncated
+    to a STATIC per-row k (XLA static shapes; the reference gathers a
+    dynamic count, modeling_nomic_bert.py:649-653). Filler slots point at
+    position 0 with label -100 (zero loss weight). Per-row indexing keeps
+    the gather inside each batch row, so multi-process global-batch
+    assembly and "data"-axis sharding need no index offsetting."""
+    B = labels.shape[0]
+    out_pos = np.zeros((B, k), np.int32)
+    out_lab = np.full((B, k), -100, np.int32)
+    for b in range(B):
+        pos = np.flatnonzero(labels[b] >= 0)
+        if len(pos) > k:  # 4-sigma budget: ~never; drop the tail if it happens
+            pos = pos[:k]
+        out_pos[b, : len(pos)] = pos
+        out_lab[b, : len(pos)] = labels[b, pos]
     return out_pos, out_lab
 
 
-def dense_budget(n_tokens: int, prob: float) -> int:
-    """Static masked-position budget: mean + 4 sigma, rounded up to 128."""
-    mean = n_tokens * prob
-    sigma = (n_tokens * prob * (1 - prob)) ** 0.5
+def dense_budget(seq_len: int, prob: float) -> int:
+    """Static per-row masked-position budget: mean + 4 sigma, rounded up
+    to a lane multiple."""
+    mean = seq_len * prob
+    sigma = (seq_len * prob * (1 - prob)) ** 0.5
     return max(128, int(-(-(mean + 4 * sigma) // 128) * 128))
 
 
@@ -146,7 +151,7 @@ class MLMTrainer(BaseTrainer):
                     "labels": labels.astype(np.int32),
                 }
                 if dense:
-                    k = dense_budget(ids.size, mlm_prob)
+                    k = dense_budget(ids.shape[1], mlm_prob)
                     pos, lab = masked_positions_static(labels, k)
                     out["masked_positions"] = pos
                     out["labels"] = lab
@@ -211,7 +216,7 @@ class MLMTrainer(BaseTrainer):
                 "labels": jnp.asarray(labels),
             }
             if dense:
-                pos, lab = masked_positions_static(labels, dense_budget(ids.size, val_prob))
+                pos, lab = masked_positions_static(labels, dense_budget(ids.shape[1], val_prob))
                 b["masked_positions"] = jnp.asarray(pos)
                 b["labels"] = jnp.asarray(lab)
             losses.append(float(eval_step(self.params, b)))

@@ -138,15 +138,15 @@ def test_dense_seq_output_loss_equals_full_ce():
     params = model.init(jax.random.PRNGKey(0), ids, mask)
 
     full = model.apply(params, ids, attention_mask=mask, labels=jnp.asarray(labels))
-    k = dense_budget(B * S, 0.3)
+    k = dense_budget(S, 0.3)
     pos, lab = masked_positions_static(labels, k)
     dense = model.apply(
         params, ids, attention_mask=mask,
         labels=jnp.asarray(lab), masked_positions=jnp.asarray(pos),
     )
     np.testing.assert_allclose(float(dense["loss"]), float(full["loss"]), rtol=1e-6)
-    # the dense head only projects k rows
-    assert dense["prediction_logits"].shape == (k, cfg.vocab_size)
+    # the dense head only projects k rows per batch row
+    assert dense["prediction_logits"].shape == (B, k, cfg.vocab_size)
 
     # grads agree too (head fraction of the step is what the path changes)
     def loss_full(p):

@@ -74,6 +74,30 @@ def test_flash_forward_unaligned_seqlen():
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), atol=2e-5)
 
 
+def test_flash_single_pass_remainder_subblock():
+    """Regression: S in (256, 512] resolves block_q to 384/512 on the
+    single-pass path; the sub-block pipeline must cover the trailing
+    remainder rows (a 384 block once dropped rows 256..383 entirely)."""
+    for S in (384, 320, 512):
+        rng = np.random.default_rng(S)
+        q, k, v = make_qkv(rng, S=S)
+        out_f = flash_attention(q, k, v)
+        out_s = sdpa(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_s), atol=2e-5, err_msg=f"S={S}"
+        )
+
+        def loss_flash(q):
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+        def loss_sdpa(q):
+            return jnp.sum(sdpa(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash)(q)
+        gs = jax.grad(loss_sdpa)(q)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gs), atol=5e-4, err_msg=f"S={S}")
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_backward_matches_sdpa(causal):
     rng = np.random.default_rng(4)
