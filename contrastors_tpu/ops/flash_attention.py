@@ -88,6 +88,12 @@ def _fwd_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q_idx = pl.program_id(2)
+    # raw-logit max tracking; the softmax scale (with log2(e) folded in, so
+    # the VPU transcendental is a bare exp2) enters only inside the exp2
+    # argument as a fused multiply-add — scaling q instead would round the
+    # scaled q to bf16 (measured 123x the bf16 noise floor), and scaling s
+    # up front costs a standalone [bq, bkv] VPU pass (see _fwd_kernel_single)
+    c = sm_scale * LOG2E
 
     def compute():
         q = q_ref[:, :]  # [bq, D]
@@ -95,11 +101,6 @@ def _fwd_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        # scale in fp32 on s, folding in log2(e) so the online softmax runs
-        # on exp2, the VPU's native transcendental (scaling q instead would
-        # round the scaled q to bf16 — measured 123x the bf16 noise floor,
-        # vs 1.6x this way)
-        s = s * (sm_scale * LOG2E)  # base-2 logits
 
         if masked:
             sq = seg_q_ref[0, :]  # [bq]
@@ -116,11 +117,11 @@ def _fwd_kernel(
 
         m_prev = m_scr[:]
         m_cur = jnp.max(s, axis=1, keepdims=True)
-        # floor keeps exp2(s - m_new) == 0 when an entire block is masked
+        # floor keeps p == 0 when an entire block is masked
         # (s == m_new == NEG_INF would otherwise give p == 1)
-        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e20)
-        p = jnp.exp2(s - m_new)
-        corr = jnp.exp2(m_prev - m_new)
+        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e20 / c)
+        p = jnp.exp2(s * c - m_new * c)  # fma per element
+        corr = jnp.exp2((m_prev - m_new) * c)
         l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[:, :]
         pv = jax.lax.dot_general(
@@ -152,8 +153,9 @@ def _fwd_kernel(
         l = l_scr[:]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[:, :] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-        # base-2 LSE (consumed only by the backward kernels)
-        lse = m_scr[:] + jnp.log2(l_safe)
+        # base-2 LSE (consumed only by the backward kernels); m_scr holds
+        # the RAW logit max, scaled into base 2 here
+        lse = m_scr[:] * c + jnp.log2(l_safe)
         lse_ref[0, :] = jnp.where(l[:, 0] == 0.0, NEG_INF, lse[:, 0])
 
 
