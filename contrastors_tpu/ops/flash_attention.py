@@ -177,8 +177,9 @@ def _fwd_kernel_single(
     """Single-pass softmax: the whole kv range fits one block (the common
     bidirectional-encoder case, T <= block_kv), so the online-softmax
     scratch state, correction rescales, and init/finalize VMEM round-trips
-    of `_fwd_kernel` all vanish. Measured 30.7 -> ~60 TF/s fwd at the
-    S=2048 MLM geometry on v5e."""
+    of `_fwd_kernel` all vanish. With the fma scale-fold and ones-column
+    rowsum below: fwd 30.7 -> 36.9 TF/s at the S=2048 MLM geometry on
+    v5e (the residual cost is the QK matmul shape itself — see ROADMAP #1)."""
     q_idx = pl.program_id(2)
     k = k_ref[:, :]
     v = v_ref[:, :]
