@@ -59,10 +59,15 @@ def grad_cache_loss_and_grads(
     chunk_size_d: Optional[int] = None,
     direct_chunks: int = 0,
     direct_chunks_d: Optional[int] = None,
+    return_metrics: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
     """Returns (loss, param_grads) — or (loss, param_grads, extra_grads)
     when extra_params is given (loss-stage parameters such as a trainable
     logit scale: loss_fn is then called as loss_fn(q, d, extra_params)).
+    With return_metrics=True a metrics dict is appended (currently
+    {"router_aux": total}). The returned loss INCLUDES
+    router_aux_coef * total_router_aux — the same objective whose gradient
+    is returned, so loss curves are comparable with the non-cache path.
 
     encode_*(params, chunk_batch, chunk_rng) -> {"embedding": [c, D],
         optionally "router_aux": scalar} — router_aux is the per-chunk
@@ -175,7 +180,8 @@ def grad_cache_loss_and_grads(
     zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
 
     def accumulate(encode, base_rng, chunks, cotangents, acc, offset):
-        def body(acc, xs):
+        def body(carry, xs):
+            acc, aux_sum = carry
             i, chunk, cot = xs
 
             def surrogate(p):
@@ -184,29 +190,40 @@ def grad_cache_loss_and_grads(
                 aux = out.get("router_aux")
                 if aux is not None and router_aux_coef:
                     s = s + router_aux_coef * aux
-                return s
+                return s, (jnp.zeros(()) if aux is None else aux.astype(jnp.float32))
 
-            g = jax.grad(surrogate)(params)
+            g, aux = jax.grad(surrogate, has_aux=True)(params)
             acc = jax.tree_util.tree_map(jnp.add, acc, g)
-            return acc, None
+            return (acc, aux_sum + aux), None
 
         n = jax.tree_util.tree_leaves(chunks)[0].shape[0]
         if n == 0:
-            return acc
-        acc, _ = jax.lax.scan(body, acc, (jnp.arange(n) + offset, chunks, cotangents))
-        return acc
+            return acc, jnp.zeros(())
+        (acc, aux_sum), _ = jax.lax.scan(
+            body, (acc, jnp.zeros(())), (jnp.arange(n) + offset, chunks, cotangents)
+        )
+        return acc, aux_sum
 
     grads = zero_grads
+    total_aux = jnp.zeros(())
     if q_vjp is not None:
         (g_direct,) = q_vjp(gq_direct.astype(q_direct.dtype))
         grads = jax.tree_util.tree_map(jnp.add, grads, g_direct)
-    grads = accumulate(encode_q, rng_q, q_cached_chunks, gq, grads, k_q)
+    grads, aux = accumulate(encode_q, rng_q, q_cached_chunks, gq, grads, k_q)
+    total_aux = total_aux + aux
     if d_trainable:
         if d_vjp is not None:
             (g_direct,) = d_vjp(gd_direct.astype(d_direct.dtype))
             grads = jax.tree_util.tree_map(jnp.add, grads, g_direct)
-        grads = accumulate(encode_d, rng_d, d_cached_chunks, gd, grads, k_d)
+        grads, aux = accumulate(encode_d, rng_d, d_cached_chunks, gd, grads, k_d)
+        total_aux = total_aux + aux
 
+    # report the objective whose gradient was just accumulated
+    if router_aux_coef:
+        loss = loss + router_aux_coef * total_aux
+    out: Tuple[Any, ...] = (loss, grads)
     if extra_params is not None:
-        return loss, grads, extra_grads
-    return loss, grads
+        out = out + (extra_grads,)
+    if return_metrics:
+        out = out + ({"router_aux": total_aux},)
+    return out

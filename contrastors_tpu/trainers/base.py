@@ -58,9 +58,16 @@ class BaseTrainer(ABC):
         self.schedule = make_schedule(
             ta.schedule_type, ta.learning_rate, self.total_steps, warmup, ta.cooldown_steps
         )
+        # total_steps/warmup_steps (and the logged lr) are in LOOP-step
+        # units, but optax's schedule count increments once per APPLIED
+        # update — one per gradient_accumulation_steps loop steps — so the
+        # schedule handed to the optimizer maps update-count back to loop
+        # steps (otherwise warmup/decay run ga-times too slowly)
+        ga = ta.gradient_accumulation_steps or 1
+        opt_schedule = (lambda count: self.schedule(count * ga)) if ga > 1 else self.schedule
         self.tx = make_optimizer(
             self.params,
-            self.schedule,
+            opt_schedule,
             weight_decay=ta.weight_decay,
             beta1=ta.adam_beta1,
             beta2=ta.adam_beta2,
@@ -285,8 +292,22 @@ class BaseTrainer(ABC):
                     self.params, self.opt_state, batch, step_rng
                 )
                 self.step += 1
-                # host batch is the per-process slice; examples/sec is global
-                examples += next(iter(arrays.values())).shape[0] * jax.process_count()
+                # host batch is the per-process slice; examples/sec is
+                # global. Count actual examples, not the leading dim of an
+                # arbitrary array (documents carry B*(1+negatives) rows;
+                # packed batches carry row-matrix + per-pair arrays)
+                for key in (
+                    "query_pair_index",  # packed: one entry per pair
+                    "query_input_ids",
+                    "input_ids",
+                    "pixel_values",
+                ):
+                    if key in arrays:
+                        n_examples = arrays[key].shape[0]
+                        break
+                else:
+                    n_examples = next(iter(arrays.values())).shape[0]
+                examples += n_examples * jax.process_count()
                 if meta.get("lang"):
                     # per-language running mean (reference mmlm.py:145-160):
                     # keep the unfetched device scalars; one stacked transfer

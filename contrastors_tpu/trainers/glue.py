@@ -158,10 +158,18 @@ class GlueTrainer(BaseTrainer):
 
         self._encode = encode
 
+        import jax
+
+        rank, world = self.process_index, jax.process_count()
+        rank_batch = batch // world
+
         def iterate():
+            # shared permutation, disjoint per-rank windows (multi-host:
+            # shard_batch reassembles the global batch)
             order = rng.permutation(len(ds))
             for b in range(steps):
-                idx = order[b * batch : (b + 1) * batch]
+                lo = b * batch + rank * rank_batch
+                idx = order[lo : lo + rank_batch]
                 yield encode(ds[idx.tolist()])
 
         class _Loader:

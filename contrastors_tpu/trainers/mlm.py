@@ -126,7 +126,15 @@ class MLMTrainer(BaseTrainer):
         self._train_ds = ds
         batch = dargs.batch_size
         steps = len(ds) // batch
+        import jax
+
+        rank, world = self.process_index, jax.process_count()
+        rank_batch = batch // world
+        # the permutation rng is shared across processes (same seed ->
+        # disjoint rank windows of one global order); masking draws fold in
+        # the rank so patterns decorrelate across hosts
         rng = np.random.default_rng(dargs.seed)
+        mask_rng = np.random.default_rng((dargs.seed, rank))
         tok = self.tokenizer
         special = set(tok.all_special_ids)
         mlm_prob = dargs.mlm_prob
@@ -137,11 +145,15 @@ class MLMTrainer(BaseTrainer):
             dense = getattr(getattr(self, "trunk_config", None), "dense_seq_output", False)
             order = rng.permutation(len(ds))
             for b in range(steps):
-                idx = order[b * batch : (b + 1) * batch]
+                # this rank's window of the global batch (multi-host:
+                # shard_batch assembles the disjoint windows into the
+                # global array; reference mlm.py uses DistributedSampler)
+                lo = b * batch + rank * rank_batch
+                idx = order[lo : lo + rank_batch]
                 rows = ds[idx.tolist()]
                 ids = np.asarray(rows["input_ids"], dtype=np.int32)
                 masked, labels = mlm_mask(
-                    ids, mlm_prob, tok.mask_token_id, len(tok), special, rng
+                    ids, mlm_prob, tok.mask_token_id, len(tok), special, mask_rng
                 )
                 out = {
                     "input_ids": masked,

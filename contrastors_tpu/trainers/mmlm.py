@@ -70,12 +70,18 @@ class MMLMTrainer(MLMTrainer):
                 ds = datasets[lang]
                 start = cursors[lang]
                 if start + batch > len(ds):
-                    cursors[lang] = 0
-                    start = 0
+                    if batch >= len(ds):
+                        # corpus smaller than a global batch: rotate the
+                        # cursor so successive windows cover different rows
+                        start = start % len(ds)
+                    else:
+                        start = 0
                 cursors[lang] = start + batch
-                # global window, then this rank's slice (multilingual.py:201-207)
+                # global window, then this rank's slice (multilingual.py:201-207);
+                # modulo handles corpora smaller than the global batch (the
+                # window wraps instead of indexing past the end)
                 lo = start + rank * rank_batch
-                rows = ds[list(range(lo, lo + rank_batch))]
+                rows = ds[[i % len(ds) for i in range(lo, lo + rank_batch)]]
                 ids = np.asarray(rows["input_ids"], dtype=np.int32)
                 masked, labels = mlm_mask(ids, mlm_prob, tok.mask_token_id, len(tok), special, rng)
                 yield {

@@ -219,6 +219,16 @@ class TextTextTrainer(BaseTrainer):
 
         packed = getattr(self.config.data_args, "packed", False) if self.config.data_args else False
 
+        if packed and ta.grad_cache and self.config.model_args.pooling != "mean":
+            # the grad-cache packed design chunks over ROWS and returns the
+            # raw slot matrix (pairs gathered at the loss stage) — that
+            # only pools per segment, i.e. mean pooling; 'last' would need
+            # last_token_index threading through the chunk encoder
+            raise ValueError(
+                "packed + grad_cache supports pooling='mean' only "
+                f"(got {self.config.model_args.pooling!r}); disable one of them"
+            )
+
         if ta.grad_cache:
             chunk = ta.chunk_size or 64
             # hybrid direct mode is incompatible with the per-chunk MoE aux
@@ -295,7 +305,7 @@ class TextTextTrainer(BaseTrainer):
                     def packed_loss(q_slots, d_slots, scale_params):
                         return loss_fn(q_slots[q_idx], d_slots[d_idx], scale_params)
 
-                    loss, grads_model, grads_scale = grad_cache_loss_and_grads(
+                    loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
                         params["model"], qb, db,
                         make_packed_encode(Kq), make_packed_encode(Kd),
                         packed_loss, chunk_size=chunk_rows, rng=rng,
@@ -303,11 +313,12 @@ class TextTextTrainer(BaseTrainer):
                         extra_params=params["logit_scale"],
                         direct_chunks=direct_q,
                         direct_chunks_d=direct_d,
+                        return_metrics=True,
                     )
                 else:
                     qb = {"input_ids": batch["query_input_ids"], "attention_mask": batch["query_attention_mask"]}
                     db = {"input_ids": batch["document_input_ids"], "attention_mask": batch["document_attention_mask"]}
-                    loss, grads_model, grads_scale = grad_cache_loss_and_grads(
+                    loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
                         params["model"],
                         qb,
                         db,
@@ -320,12 +331,16 @@ class TextTextTrainer(BaseTrainer):
                         extra_params=params["logit_scale"],
                         direct_chunks=direct_q,
                         direct_chunks_d=direct_d,
+                        return_metrics=True,
                     )
                 grads = {"model": grads_model, "logit_scale": grads_scale}
                 updates, new_opt = self.tx.update(grads, opt_state, params)
                 new_params = clamp_scale(optax.apply_updates(params, updates))
                 gnorm = optax.global_norm(grads)
-                return new_params, new_opt, {"loss": loss, "grad_norm": gnorm}
+                metrics = {"loss": loss, "grad_norm": gnorm}
+                if use_moe:
+                    metrics["router_aux"] = gc_metrics["router_aux"]
+                return new_params, new_opt, metrics
 
             return train_step
 
@@ -352,9 +367,24 @@ class TextTextTrainer(BaseTrainer):
                 loss, acc = clip_loss(q["embedding"], d["embedding"], scale_fn)
             metrics["accuracy"] = acc
             if use_moe:
-                logits = (q["router_logits"] or []) + (d["router_logits"] or [])
-                if logits:
-                    aux = router_aux_loss(logits, margs.num_experts, margs.moe_top_k)
+                # per-tower aux with that tower's validity mask (padding
+                # tokens must not enter the load-balance statistics — same
+                # formula the grad-cache chunk encoder uses above)
+                aux = jnp.zeros(())
+                have_aux = False
+                for tower, res in (("query", q), ("document", d)):
+                    logits = res["router_logits"] or []
+                    if not logits:
+                        continue
+                    if packed:
+                        m = (batch[f"{tower}_segment_ids"] > 0).astype(jnp.int32)
+                    else:
+                        m = batch[f"{tower}_attention_mask"]
+                    aux = aux + router_aux_loss(
+                        logits, margs.num_experts, margs.moe_top_k, attention_mask=m
+                    )
+                    have_aux = True
+                if have_aux:
                     loss = loss + aux_coef * aux
                     metrics["router_aux"] = aux
             return loss, metrics

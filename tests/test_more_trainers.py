@@ -225,6 +225,33 @@ def test_gradient_accumulation(tmp_path):
     assert "grad_norm" in m2
     assert np.abs(leaf2 - leaf0).max() > 0  # updated after 2 micro-steps
 
+    # LR schedule units: optax's count advances once per APPLIED update,
+    # so the schedule handed to the optimizer must map update-count back
+    # to loop steps (regression: warmup/decay ran ga-times too slowly)
+    cfg_w = Config(
+        train_args=_train_args(
+            out + "_w", gradient_accumulation_steps=2, num_train_steps=8,
+            warmup_steps=4, learning_rate=1e-3, schedule_type="linear",
+        ),
+        data_args=dict(
+            tokenized_dataset=data, mlm_prob=0.3, val_mlm_prob=0.15,
+            batch_size=16, seed=0, workers=0, shuffle=True,
+        ),
+        model_args=dict(model_type="mlm", model_name=ckpt, pretrained=True, attn_impl="sdpa"),
+    )
+    t2 = TRAINER_REGISTRY["mlm"](cfg_w, "fp32")
+    # after a full train, the number of applied optimizer updates is
+    # total_steps // ga — the count the optimizer-side schedule consumes
+    t2.train()
+    counts = [
+        int(np.asarray(leaf))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(t2.opt_state)
+        if "count" in str(path).lower()
+    ]
+    assert counts and all(c == 4 for c in counts), counts
+    # and the loop-step schedule at the final step has fully decayed
+    assert float(t2.schedule(8)) < float(t2.schedule(4))
+
 
 def test_eval_strategy_epochs(tmp_path):
     """eval_strategy=epochs fires the eval loop at each epoch boundary
