@@ -38,7 +38,10 @@ def sincos_2d_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = True) 
     grid_h = np.arange(grid_size, dtype=np.float32)
     grid_w = np.arange(grid_size, dtype=np.float32)
     gw, gh = np.meshgrid(grid_w, grid_h)  # w varies fastest (matches reference)
-    emb = np.concatenate([one_axis(gh), one_axis(gw)], axis=1)
+    # first half encodes the W coordinate: the reference's emb_h is built
+    # from grid[0], which meshgrid(w, h) makes the W grid (embedding.py:66-70
+    # — the name is misleading); verified == transformers ViTMAE's builder
+    emb = np.concatenate([one_axis(gw), one_axis(gh)], axis=1)
     if cls_token:
         emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)
     return emb.astype(np.float32)
@@ -183,6 +186,15 @@ class PatchEmbedding(nn.Module):
             x = add_pos(x, pos_embed)
 
         if cfg.patch_dropout > 0.0 and not deterministic:
+            if rope is not None:
+                # kept patches would misalign with the full-grid rope rows
+                # (the reference returns the full table after dropping
+                # patches too, embedding.py:514-516 — a latent bug there;
+                # no recipe combines the two, so fail loudly here)
+                raise ValueError(
+                    "patch_dropout > 0 is unsupported with 2-D rotary position "
+                    "embeddings; disable one of them"
+                )
             x = patch_dropout(x, cfg.patch_dropout, self.make_rng("dropout"), exclude_first=True)
         return x, rope
 

@@ -54,9 +54,11 @@ def sniff_family(model_type: str, model_name: str) -> str:
     name = (model_name or "").lower()
     if model_type in ("bert", "nomic_bert", "roberta", "xlm-roberta", "modernbert"):
         return "encoder"
-    if model_type in ("gpt_neox", "llama", "gpt2", "open_lm", "openlm"):
+    if model_type in ("gpt_neox", "llama", "gpt2", "open_lm", "openlm", "clip_text_model"):
         return "decoder"
-    if model_type in ("vit", "clip_vision_model", "dinov2") or "vit" in name or "eva02" in name:
+    # a full CLIP config ("clip") loads as its vision tower here; the text
+    # tower loads via model_type clip_text_model (hf_interop_decoder)
+    if model_type in ("vit", "vit_mae", "clip", "clip_vision_model", "dinov2") or "vit" in name or "eva02" in name:
         return "vision"
     return "encoder"
 
@@ -73,9 +75,18 @@ def trunk_config_from_hf_dict(hf: Dict[str, Any], **overrides) -> Tuple[TrunkCon
         else:
             cfg = bert_config_to_trunk_config(ns, **overrides)
     elif family == "decoder":
-        from contrastors_tpu.models.hf_interop_decoder import decoder_config_to_trunk_config
+        if model_type in ("open_lm", "openlm"):
+            from contrastors_tpu.models.hf_interop_decoder import open_lm_config_to_trunk_config
 
-        cfg = decoder_config_to_trunk_config(hf, **overrides)
+            cfg = open_lm_config_to_trunk_config(hf, **overrides)
+        elif model_type == "clip_text_model":
+            from contrastors_tpu.models.hf_interop_decoder import clip_text_config_to_trunk_config
+
+            cfg = clip_text_config_to_trunk_config(hf, **overrides)
+        else:
+            from contrastors_tpu.models.hf_interop_decoder import decoder_config_to_trunk_config
+
+            cfg = decoder_config_to_trunk_config(hf, **overrides)
     else:
         from contrastors_tpu.models.hf_interop_vit import vit_config_to_trunk_config
 
@@ -147,9 +158,6 @@ def load_biencoder(
             "input_ids": jnp.zeros((1, 8), jnp.int32),
             "attention_mask": jnp.ones((1, 8), jnp.int32),
         }
-    params = jax.eval_shape(lambda: module.init(rng, **dummy))
-    params = jax.tree_util.tree_map(lambda s: None, params)  # placeholder
-
     if model_args.pretrained:
         sd = _load_state_dict(path)
         if sd is None:
@@ -168,9 +176,19 @@ def load_biencoder(
 
                 trunk = {"params": expand_dense_trunk_to_moe(trunk["params"], cfg)}
         elif family == "decoder":
-            from contrastors_tpu.models.hf_interop_decoder import decoder_state_dict_to_flax
+            mt = hf_cfg.get("model_type", "gpt_neox")
+            if mt in ("open_lm", "openlm"):
+                from contrastors_tpu.models.hf_interop_decoder import open_lm_state_dict_to_flax
 
-            trunk = decoder_state_dict_to_flax(sd, cfg, hf_cfg.get("model_type", "gpt_neox"))
+                trunk = open_lm_state_dict_to_flax(sd, cfg)
+            elif mt == "clip_text_model":
+                from contrastors_tpu.models.hf_interop_decoder import clip_text_state_dict_to_flax
+
+                trunk = clip_text_state_dict_to_flax(sd, cfg)
+            else:
+                from contrastors_tpu.models.hf_interop_decoder import decoder_state_dict_to_flax
+
+                trunk = decoder_state_dict_to_flax(sd, cfg, mt)
         else:
             from contrastors_tpu.models.hf_interop_vit import vit_state_dict_to_flax
 
@@ -192,11 +210,15 @@ def _merge_trunk(init_params: Any, trunk_params: Dict) -> Any:
     init = flax.core.unfreeze(init_params) if hasattr(init_params, "unfreeze") else dict(init_params)
     target = init["params"]["trunk"]
 
+    dropped = []
+
     def overlay(dst, src, path=""):
         for k, v in src.items():
             if isinstance(v, dict):
                 if k in dst:
                     overlay(dst[k], v, path + "/" + k)
+                else:
+                    dropped.append(path + "/" + k + "/*")
             else:
                 if k in dst:
                     expected = dst[k].shape
@@ -204,8 +226,21 @@ def _merge_trunk(init_params: Any, trunk_params: Dict) -> Any:
                     if expected != got:
                         raise ValueError(f"shape mismatch at {path}/{k}: {expected} vs {got}")
                     dst[k] = jnp.asarray(v, dtype=dst[k].dtype)
+                else:
+                    dropped.append(path + "/" + k)
 
     overlay(target, trunk_params)
+    if dropped:
+        # a remapped checkpoint tensor with no home in the module means the
+        # config disagrees with the checkpoint (e.g. gated fc11/fc12 weights
+        # into a non-gated MLP) — silently keeping random init there would
+        # produce garbage embeddings that 'load successfully' (the reference
+        # asserts the analogous condition, modeling_nomic_bert.py:265-273)
+        raise ValueError(
+            f"{len(dropped)} remapped checkpoint tensors have no matching "
+            f"module parameter (first few: {dropped[:8]}); the model config "
+            "does not match this checkpoint"
+        )
     return init
 
 

@@ -70,6 +70,8 @@ def bert_config_to_trunk_config(hf_config, **overrides) -> TrunkConfig:
         pad_token_id=g("pad_token_id", default=None),
         pad_vocab_size_multiple=g("pad_vocab_to_multiple_of", "pad_vocab_size_multiple", default=1),
         max_trained_positions=g("max_trained_positions", default=2048),
+        # DynamicNTK long-context inference knob on NomicBertConfig
+        rotary_scaling_factor=g("rotary_scaling_factor", default=None),
         # NomicBertConfig carries this explicitly (configuration_nomic_bert.py:26);
         # an explicit false in config.json must win over the TrunkConfig default
         dense_seq_output=bool(g("dense_seq_output", default=True)),

@@ -35,6 +35,8 @@ TIMM_PRESETS: Dict[str, Dict[str, Any]] = {
         learned_pos_embedding=True, no_embed_class=True,
     ),
     "vit_base_patch16_rope_reg1_gap_256": dict(
+        # 224/(14,14) despite the _256 name — deliberate in the reference
+        # ("to use 256, change ref_feat_shape to (16,16)", timm_vit.py:59-62)
         patch_size=16, n_embd=768, n_layer=12, n_head=12, n_inner=3072,
         activation_function="gelu", img_size=224, layer_norm_epsilon=1e-6,
         layer_scale=True, layer_scale_init=1e-5, register_tokens=1,

@@ -59,7 +59,11 @@ def vit_config_to_trunk_config(hf: Dict[str, Any], **overrides) -> TrunkConfig:
             layer_scale_init=hf.get("layerscale_value", 1.0),
         )
         if hf.get("use_swiglu_ffn", False):
-            kw.update(activation_function="swiglu")
+            # Dinov2SwiGLUFFN: hidden = round_up(int(h * ratio * 2/3), 8)
+            # (transformers modeling_dinov2.py), NOT ratio * h
+            swiglu_hidden = int(hf["hidden_size"] * hf.get("mlp_ratio", 4))
+            swiglu_hidden = (int(swiglu_hidden * 2 / 3) + 7) // 8 * 8
+            kw.update(activation_function="swiglu", n_inner=swiglu_hidden)
     kw.update(overrides)
     return TrunkConfig(**kw)
 

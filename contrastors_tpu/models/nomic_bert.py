@@ -25,6 +25,15 @@ def _layer_is_moe(config: TrunkConfig, i: int) -> bool:
     # reference modeling_nomic_bert.py:298-302: moe when i % every_n == 1
     if config.num_experts <= 0:
         return False
+    if config.moe_every_n_layers == 1:
+        # i % 1 == 1 never holds, so every_n=1 (the default) silently
+        # builds a fully dense model — the reference has the same quirk;
+        # fail loudly instead of dropping num_experts on the floor
+        raise ValueError(
+            "num_experts > 0 with moe_every_n_layers == 1 places MoE on NO "
+            "layers (the placement rule is i % every_n == 1, reference "
+            "modeling_nomic_bert.py:298-302); set moe_every_n_layers >= 2"
+        )
     if config.moe_every_n_layers > 0:
         return i % config.moe_every_n_layers == 1
     return False

@@ -51,6 +51,57 @@ def test_hf_vit_parity():
     assert err < 5e-5, f"hf-vit err {err}"
 
 
+def test_sincos_2d_matches_mae():
+    """Regression: the fixed 2-D sin/cos table must equal transformers'
+    ViTMAE builder exactly — the first half encodes the W coordinate
+    (the reference's emb_h name is misleading, embedding.py:66-70); the
+    halves were once concatenated in the opposite order."""
+    from transformers.models.vit_mae.modeling_vit_mae import get_2d_sincos_pos_embed
+
+    from contrastors_tpu.layers.embeddings import sincos_2d_pos_embed
+
+    for dim, grid in ((64, 4), (96, 7)):
+        ours = np.asarray(sincos_2d_pos_embed(dim, grid, cls_token=True))
+        ref = np.asarray(get_2d_sincos_pos_embed(dim, grid, add_cls_token=True))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_vit_mae_parity():
+    """ViT-MAE encoder: sinusoidal (non-learned) position table is
+    regenerated locally on load — outputs must match transformers."""
+    from transformers import ViTMAEConfig, ViTMAEModel
+
+    torch.manual_seed(0)
+    hf_cfg = ViTMAEConfig(
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=128,
+        image_size=32,
+        patch_size=8,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        mask_ratio=0.0,  # keep every patch so hidden states align
+    )
+    hf = ViTMAEModel(hf_cfg).eval()
+    cfg = vit_config_to_trunk_config(hf_cfg.to_dict())
+    params = vit_state_dict_to_flax(torch_state_dict_to_numpy(hf.state_dict()), cfg, "vit_mae")
+
+    rng = np.random.default_rng(0)
+    px = _pixels(rng)
+    with torch.no_grad():
+        o = hf(torch.tensor(px))
+        # MAE shuffles patches even at mask_ratio=0 — restore the order
+        patches = o.last_hidden_state[:, 1:]
+        restore = o.ids_restore[..., None].expand(-1, -1, patches.shape[-1])
+        ref = torch.cat(
+            [o.last_hidden_state[:, :1], torch.gather(patches, 1, restore)], dim=1
+        ).numpy()
+    out = ViTModel(config=cfg).apply(params, jnp.asarray(px))["last_hidden_state"]
+    err = np.abs(np.asarray(out) - ref).max()
+    assert err < 5e-5, f"vit-mae err {err}"
+
+
 def test_clip_vision_parity():
     torch.manual_seed(0)
     hf_cfg = CLIPVisionConfig(
