@@ -8,7 +8,18 @@ DECOMPRESSED stream, enabling mid-shard seeks for rank-aligned reads.
 import gzip
 import json
 import os
+import re
 from typing import Dict, List
+
+
+def norm_shard_key(url: str) -> str:
+    """Canonical shard key: trailing 3-4 path segments, scheme stripped.
+    Shared by the index builder and StreamingShardDataset._norm so the
+    counts/offsets lookups always agree (any scheme — s3://, file:// —
+    and leading slashes are removed BEFORE segment counting)."""
+    url = re.sub(r"^[a-z0-9]+://", "", url)
+    parts = [p for p in url.split("/") if p]
+    return "/".join(parts[-4:]) if len(parts) >= 6 else "/".join(parts[-3:])
 
 
 def index_shard(path: str) -> Dict[str, List[int]]:
@@ -21,7 +32,7 @@ def index_shard(path: str) -> Dict[str, List[int]]:
     return offsets
 
 
-def build_bucket_index(bucket_dir: str, pattern_suffix: str = ".jsonl.gz", key_prefix: str = ""):
+def build_bucket_index(bucket_dir: str, pattern_suffix: str = ".jsonl.gz"):
     """Writes counts.json and offsets.json.gz next to the shards.
 
     Keys are normalized the way the streaming loader expects (last 3-4 path
@@ -49,10 +60,7 @@ def build_bucket_index(bucket_dir: str, pattern_suffix: str = ".jsonl.gz", key_p
             off = native_offsets[i]
         if off is None:
             off = index_shard(full)
-        key = key_prefix + full.lstrip("/") if key_prefix else full.lstrip("/")
-        # normalize like the loader: keep the trailing segments
-        parts = full.replace("s3://", "").split("/")
-        key = "/".join(parts[-4:]) if len(parts) >= 6 else "/".join(parts[-3:])
+        key = norm_shard_key(full)
         counts[key] = len(off)
         offsets[key] = off
     with open(os.path.join(bucket_dir, "counts.json"), "w") as f:

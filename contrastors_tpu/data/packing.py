@@ -76,7 +76,11 @@ def pack_tokenized(
             seg[r, start : start + n] = nseg[r] + 1
             pos[r, start : start + n] = np.arange(n, dtype=np.int32)
         pair_index[i] = r * max_segments + int(nseg[r])
-        last_token_index[i] = r * row_len + start + max(n, 1) - 1
+        # clamp within the row: a 0-token sequence with start == row_len
+        # would otherwise index the NEXT row's first token (or run past the
+        # flat buffer on the last row); the gathered embedding is padding
+        # either way, but it must come from this row
+        last_token_index[i] = r * row_len + min(start + max(n, 1) - 1, row_len - 1)
         used[r] += n
         nseg[r] += 1
 

@@ -139,6 +139,10 @@ class TokenizeCollator:
 
 
 def _extract_pair(record: Dict, objective: Dict, num_negatives: int, sample_negatives: bool, rng: random.Random):
+    """Returns (paired, neg_indices): neg_indices are the positions of the
+    KEPT negatives within the record's negative list (None when the
+    objective has no negatives column) — kd_scores must be gathered with
+    the same indices so teacher scores stay aligned with the documents."""
     columns = objective["columns"]
     ctype = objective["type"]
     meta = record.get("metadata", {}).get("objective")
@@ -147,15 +151,18 @@ def _extract_pair(record: Dict, objective: Dict, num_negatives: int, sample_nega
         if columns not in valid:
             raise ValueError(f"columns {columns} invalid for type {ctype}; valid: {valid}")
     paired: Dict[str, Any] = {}
+    neg_idx = None
     for mapped, col in zip(MAPPED_NAMES[ctype], columns):
         if mapped == "negative":
             negs = record[col]
+            idx = list(range(len(negs)))
             if len(negs) > num_negatives >= 0:
-                negs = rng.sample(negs, num_negatives) if sample_negatives else negs[:num_negatives]
-            paired["document"] = [paired["document"]] + negs
+                idx = rng.sample(idx, num_negatives) if sample_negatives else idx[:num_negatives]
+            neg_idx = idx
+            paired["document"] = [paired["document"]] + [negs[j] for j in idx]
         else:
             paired[mapped] = record[col]
-    return paired
+    return paired, neg_idx
 
 
 class StreamingShardDataset:
@@ -185,7 +192,12 @@ class StreamingShardDataset:
         self.rank = process_index if process_index is not None else jax.process_index()
         self.world_size = process_count if process_count is not None else jax.process_count()
         self.rank_batch_size = global_batch_size // self.world_size
+        # self.rng drives SHARD SELECTION only and must consume the same
+        # draw sequence on every rank (shard choice has to agree globally);
+        # data-dependent draws (negative sampling, corrupt-record refill)
+        # consume rank-varying amounts and live on sample_rng instead
         self.rng = random.Random(seed)
+        self.sample_rng = random.Random(f"{seed}/{self.rank}/sample")
         self.num_negatives = num_negatives
         self.sample_negatives = sample_negatives
         self.weighted_sampling = weighted_sampling
@@ -274,9 +286,9 @@ class StreamingShardDataset:
 
     @staticmethod
     def _norm(url: str) -> str:
-        url = url.replace("s3://", "")
-        parts = url.split("/")
-        return "/".join(parts[-4:]) if len(parts) >= 6 else "/".join(parts[-3:])
+        from contrastors_tpu.data.indexing import norm_shard_key
+
+        return norm_shard_key(url)
 
     # -- cursor ------------------------------------------------------------
     # The cursor lives in memory and is flushed to disk only on save_state
@@ -370,7 +382,7 @@ class StreamingShardDataset:
         if not records:
             raise ShardReadError(f"all {self.rank_batch_size} records corrupt in {url} @ {start_row}")
         if bad:
-            fill = self.rng.choices(records, k=bad)
+            fill = self.sample_rng.choices(records, k=bad)
             print(f"[data] refilled {bad} corrupt records in {url} by duplication", flush=True)
             records = records + fill
         return records
@@ -421,9 +433,16 @@ class StreamingShardDataset:
                 objective = self.path2objective[url]
                 pairs = []
                 for r in records:
-                    p = _extract_pair(r, objective, self.num_negatives, self.sample_negatives, self.rng)
+                    p, neg_idx = _extract_pair(
+                        r, objective, self.num_negatives, self.sample_negatives, self.sample_rng
+                    )
                     if meta["kd_loss"]:
-                        p["kd_scores"] = [r["document_score"]] + r["negatives_scores"][: self.num_negatives]
+                        # teacher scores gathered with the SAME indices as
+                        # the kept negatives (sampled subsets / -1 = all)
+                        neg_scores = r["negatives_scores"]
+                        p["kd_scores"] = [r["document_score"]] + [
+                            neg_scores[j] for j in (neg_idx or [])
+                        ]
                     pairs.append(p)
                 yield self.collator(
                     pairs,
@@ -471,7 +490,12 @@ class LocalJsonlDataset:
                     if line:
                         self.records.append(json.loads(line))
         self.objective = objective or {"type": "paired", "columns": ["query", "document"]}
+        # epoch-shuffle rng must stay in lockstep across ranks (disjoint
+        # windows of one shared order); negative sampling draws vary per
+        # record and live on a per-rank rng (same split as the streaming
+        # dataset above)
         self.rng = random.Random(seed)
+        self.sample_rng = random.Random(f"{seed}/{process_index}/sample")
         self.shuffle = shuffle
         self.rank = process_index
         self.world = process_count
@@ -505,8 +529,9 @@ class LocalJsonlDataset:
                 idx = order[(b * self.world + self.rank) * self.rank_batch :][: self.rank_batch]
                 pairs = [
                     _extract_pair(
-                        self.records[i], self.objective, self.num_negatives, self.sample_negatives, self.rng
-                    )
+                        self.records[i], self.objective, self.num_negatives,
+                        self.sample_negatives, self.sample_rng,
+                    )[0]
                     for i in idx
                 ]
                 yield self.collator(pairs, self.objective["type"], dataset_name=self.dataset_name)

@@ -49,8 +49,12 @@ def _iter_wds(shards: str, image_size: int, group_key: str = None):
                 if not member.isfile():
                     continue
                 base, ext = os.path.splitext(member.name)
-                if current is not None and base != current and "image" in sample:
-                    if "label" in sample:
+                if current is not None and base != current:
+                    # reset UNCONDITIONALLY at every key change — a sample
+                    # with a missing/unreadable image must not leak its
+                    # label/group into the next key (same invariant as
+                    # data/image_text.py's iter_tar_samples)
+                    if "image" in sample and "label" in sample:
                         yield sample["image"], sample["label"], sample.get("group")
                     sample = {}
                 current = base
@@ -266,6 +270,8 @@ def retrieval_task(
     transform = image_transform(image_size, is_train=False)
     imgs, caps = [], []
     for url in expand_urls(shards):
+        if len(imgs) >= max_samples:
+            break  # stop opening shards too, not just the inner loop
         for s in iter_tar_samples(url):
             imgs.append(transform(s["image"]))
             caps.append(s["text"])

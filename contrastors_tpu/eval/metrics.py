@@ -17,16 +17,21 @@ def topk_accuracy(logits: np.ndarray, labels: np.ndarray, ks: Sequence[int] = (1
 
 
 def ndcg_at_k(ranked_ids: List[List[str]], relevant: List[Dict[str, int]], k: int = 10) -> float:
-    """ranked_ids[i]: doc ids ranked for query i; relevant[i]: {doc_id: gain}."""
+    """ranked_ids[i]: doc ids ranked for query i; relevant[i]: {doc_id: gain}.
+
+    LINEAR gain (gain / log2(rank+1)), matching trec_eval's ndcg_cut — the
+    formula behind pytrec_eval and therefore BEIR's reported numbers; the
+    exponential 2^gain - 1 variant diverges on graded-relevance qrels
+    (TREC-COVID, NFCorpus, DBPedia)."""
     scores = []
     for ranked, rel in zip(ranked_ids, relevant):
         dcg = 0.0
         for rank, doc in enumerate(ranked[:k]):
             gain = rel.get(doc, 0)
             if gain > 0:
-                dcg += (2**gain - 1) / np.log2(rank + 2)
+                dcg += gain / np.log2(rank + 2)
         ideal = sorted(rel.values(), reverse=True)[:k]
-        idcg = sum((2**g - 1) / np.log2(r + 2) for r, g in enumerate(ideal))
+        idcg = sum(g / np.log2(r + 2) for r, g in enumerate(ideal) if g > 0)
         scores.append(dcg / idcg if idcg > 0 else 0.0)
     return float(np.mean(scores)) if scores else 0.0
 

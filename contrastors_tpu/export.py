@@ -214,10 +214,6 @@ def main():
     print(f"exported to {args.output}")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def trunk_config_to_hf_vit_dict(cfg: TrunkConfig) -> dict:
     return {
         "architectures": ["ViTModel"],
@@ -253,3 +249,7 @@ def export_vit_trunk(trunk_params: dict, cfg: TrunkConfig, output_dir: str):
         os.path.join(output_dir, "model.safetensors"),
     )
     return output_dir
+
+
+if __name__ == "__main__":
+    main()

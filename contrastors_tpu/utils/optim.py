@@ -25,7 +25,8 @@ def decay_mask(params) -> Any:
         if names and str(names[-1]) in ("bias",):
             return False
         # LayerNorm/RMSNorm scales, layerscale vectors, embeddings' 1-D, etc.
-        if jnp.squeeze(jnp.zeros(leaf.shape)).ndim < 2:
+        # (squeezed rank < 2, computed from the shape tuple — no allocation)
+        if sum(d > 1 for d in leaf.shape) < 2:
             return False
         return True
 

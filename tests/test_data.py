@@ -233,3 +233,33 @@ def test_eos_validation_raises_on_bad_placement(tmp_path):
     ids_bad[0, 2] = 7
     with _pytest.raises(ValueError, match="do not end in EOS"):
         validate_eos_placement(ids_bad, mask, eos_id=9)
+
+
+def test_kd_scores_align_with_sampled_negatives(tmp_path):
+    """kd_scores must be gathered with the SAME indices as the kept
+    negatives — sampled subsets previously paired first-k teacher scores
+    with a random-k document subset, and num_negatives=-1 dropped the
+    last score."""
+    import random as pyrandom
+
+    from contrastors_tpu.data.text import _extract_pair
+
+    record = {
+        "query": "q",
+        "document": "pos",
+        "negatives": [f"n{i}" for i in range(6)],
+        "negatives_scores": [float(i) for i in range(6)],
+        "document_score": 99.0,
+    }
+    objective = {"type": "triplet", "columns": ["query", "document", "negatives"]}
+    rng = pyrandom.Random(0)
+    p, idx = _extract_pair(record, objective, num_negatives=3, sample_negatives=True, rng=rng)
+    assert len(idx) == 3 and p["document"][1:] == [f"n{j}" for j in idx]
+    scores = [record["document_score"]] + [record["negatives_scores"][j] for j in idx]
+    # every kept document's teacher score is the one for THAT document
+    for doc, s in zip(p["document"][1:], scores[1:]):
+        assert record["negatives_scores"][int(doc[1:])] == s
+
+    # num_negatives=-1 keeps everything, scores included
+    p, idx = _extract_pair(record, objective, num_negatives=-1, sample_negatives=False, rng=rng)
+    assert len(p["document"]) == 7 and idx == list(range(6))

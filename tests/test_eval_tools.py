@@ -133,3 +133,17 @@ def test_mteb_meta_yaml(tmp_path):
     assert "name: my-model" in text
     assert "MTEB NFCorpus" in text
     assert "35.0000" in text
+
+
+def test_ndcg_linear_gain_matches_trec_eval():
+    """nDCG uses trec_eval's LINEAR gain (pytrec_eval / BEIR convention):
+    a rel-2 doc at rank 1 over a rel-1 doc at rank 2 -> hand-computed
+    value; the exponential 2^g-1 variant would differ on graded qrels."""
+    from contrastors_tpu.eval.metrics import ndcg_at_k
+
+    ranked = [["d1", "d2", "d3"]]
+    rel = [{"d1": 1, "d2": 2}]
+    # dcg = 1/log2(2) + 2/log2(3); idcg = 2/log2(2) + 1/log2(3)
+    dcg = 1.0 + 2.0 / np.log2(3)
+    idcg = 2.0 + 1.0 / np.log2(3)
+    np.testing.assert_allclose(ndcg_at_k(ranked, rel, k=10), dcg / idcg, rtol=1e-9)
