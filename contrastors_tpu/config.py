@@ -101,6 +101,17 @@ class TrainArgs(_Base):
             raise ValueError("eval_steps is required when eval_strategy='steps'")
         if self.matryoshka_dims is not None and self.grad_cache:
             raise ValueError("matryoshka_dims cannot be combined with grad_cache")
+        if (
+            self.matryoshka_dims is not None
+            and self.matryoshka_loss_weights is not None
+            and len(self.matryoshka_loss_weights) != len(self.matryoshka_dims)
+        ):
+            # zip() in the loss would silently truncate one list while
+            # sum(weights) used the other — a silently wrong objective
+            raise ValueError(
+                f"matryoshka_loss_weights has {len(self.matryoshka_loss_weights)} "
+                f"entries for {len(self.matryoshka_dims)} matryoshka_dims"
+            )
         return self
 
 
@@ -255,6 +266,16 @@ class ModelArgs(_Base):
     def _check_model_type(cls, v):
         if v not in _MODEL_TYPES:
             raise ValueError(f"unknown model_type {v!r}; expected one of {_MODEL_TYPES}")
+        return v
+
+    @field_validator("attn_impl")
+    @classmethod
+    def _check_attn_impl(cls, v):
+        # attention_core treats anything unrecognized as SDPA — a typo like
+        # "pallas" would silently run the slow path for the whole job
+        allowed = ("flash", "sdpa", "flash_always")
+        if v not in allowed:
+            raise ValueError(f"attn_impl must be one of {allowed}, got {v!r}")
         return v
 
     @field_validator("pooling")

@@ -125,6 +125,11 @@ class NativeGzipStream:
         if pos < self.tell():  # rewind = reopen
             self._lib.dp_close(self._h)
             self._h = self._lib.dp_open(self._path.encode())
+            if not self._h:
+                # surface the failure as OSError so the loader's
+                # ShardReadError fault tolerance handles it — a NULL
+                # handle passed to dp_read_range would segfault
+                raise OSError(f"dp_open failed reopening {self._path}")
         # forward skip happens lazily inside read()
 
         self._pending = pos

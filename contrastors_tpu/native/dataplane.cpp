@@ -34,6 +34,7 @@ struct Stream {
   uint64_t out_pos = 0;  // decompressed bytes consumed so far
   std::vector<unsigned char> in_buf;
   bool eof = false;
+  bool err = false;  // inflate/IO error: callers must fail, not truncate
 
   ~Stream() {
     if (file) fclose(file);
@@ -61,7 +62,10 @@ uint64_t stream_pump(Stream* s, unsigned char* out, uint64_t len) {
   while (produced < len && !s->eof) {
     if (s->zs.avail_in == 0) {
       size_t got = fread(s->in_buf.data(), 1, kInChunk, s->file);
-      if (got == 0) break;
+      if (got == 0) {
+        if (ferror(s->file)) s->err = true;
+        break;
+      }
       s->zs.next_in = s->in_buf.data();
       s->zs.avail_in = static_cast<uInt>(got);
     }
@@ -76,11 +80,13 @@ uint64_t stream_pump(Stream* s, unsigned char* out, uint64_t len) {
     if (rc == Z_STREAM_END) {
       // support multi-member gzip files
       if (inflateReset(&s->zs) != Z_OK) {
+        s->err = true;
         s->eof = true;
         break;
       }
       if (s->zs.avail_in == 0 && feof(s->file)) s->eof = true;
     } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+      s->err = true;  // Z_DATA_ERROR etc: corrupt shard, not a clean end
       s->eof = true;
       break;
     }
@@ -116,6 +122,8 @@ int64_t dp_index_file(const char* path, int64_t** offsets_out) {
     }
     pos += got;
   }
+  if (s.err) return -1;  // corrupt mid-file: a partial index would
+                           // silently undercount rows in counts.json
   if (line_start < pos) {  // trailing line without newline
     offsets.push_back(static_cast<int64_t>(line_start));
     offsets.push_back(static_cast<int64_t>(pos));
@@ -183,8 +191,10 @@ int64_t dp_read_range(void* handle, int64_t start, int64_t len, char* buf) {
     if (got == 0) return -1;
     skip -= got;
   }
-  return static_cast<int64_t>(
+  int64_t got = static_cast<int64_t>(
       stream_pump(s, reinterpret_cast<unsigned char*>(buf), static_cast<uint64_t>(len)));
+  if (s->err) return -1;
+  return got;
 }
 
 }  // extern "C"

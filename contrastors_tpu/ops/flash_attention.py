@@ -71,6 +71,7 @@ def _fwd_kernel(
     acc_scr,
     *,
     causal: bool,
+    causal_offset: int,
     sm_scale: float,
     block_q: int,
     block_kv: int,
@@ -111,7 +112,9 @@ def _fwd_kernel(
             rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             if causal:
-                s = jnp.where(rows >= cols, s, NEG_INF)
+                # bottom-right aligned for S != T (matches SDPA and
+                # flash-attn >= 2.1): query i sees keys up to i + (T - S)
+                s = jnp.where(rows + causal_offset >= cols, s, NEG_INF)
             if window > 0:
                 s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
 
@@ -133,7 +136,7 @@ def _fwd_kernel(
     live = True
     if causal:
         # skip fully-masked blocks above the diagonal
-        live = q_idx * block_q + block_q - 1 >= j * block_kv
+        live = q_idx * block_q + block_q - 1 + causal_offset >= j * block_kv
     if window > 0:
         # skip blocks entirely outside the band
         w2 = window // 2
@@ -169,6 +172,7 @@ def _fwd_kernel_single(
     lse_ref,
     *,
     causal: bool,
+    causal_offset: int,
     sm_scale: float,
     block_q: int,
     masked: bool,
@@ -222,7 +226,9 @@ def _fwd_kernel_single(
             rows = q_idx * block_q + lo + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             if causal:
-                s = jnp.where(rows >= cols, s, NEG_INF)
+                # bottom-right aligned for S != T (matches SDPA and
+                # flash-attn >= 2.1): query i sees keys up to i + (T - S)
+                s = jnp.where(rows + causal_offset >= cols, s, NEG_INF)
             if window > 0:
                 s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
         m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), -1e20 / c)
@@ -261,7 +267,7 @@ def _fwd_kernel_single(
         finish(s_prev, offs[-1], sizes[-1])
 
 
-def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
+def _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window):
     # q [B, H, S, D]; k/v [B, Hkv, T, D] (GQA: q head h reads kv head h // g)
     B, H, S, D = q.shape
     T = k.shape[2]
@@ -277,6 +283,7 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
         kernel = functools.partial(
             _fwd_kernel_single,
             causal=causal,
+            causal_offset=causal_offset,
             sm_scale=sm_scale,
             block_q=block_q,
             masked=masked,
@@ -287,6 +294,7 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
         kernel = functools.partial(
             _fwd_kernel,
             causal=causal,
+            causal_offset=causal_offset,
             sm_scale=sm_scale,
             block_q=block_q,
             block_kv=block_kv,
@@ -328,7 +336,7 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, wi
 def _bwd_dq_kernel(
     seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_scr,
-    *, causal, sm_scale, block_q, block_kv, masked, window,
+    *, causal, causal_offset, sm_scale, block_q, block_kv, masked, window,
 ):
     j = pl.program_id(3)
     n_kv = pl.num_programs(3)
@@ -359,10 +367,16 @@ def _bwd_dq_kernel(
             rows = q_idx * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             if causal:
-                s = jnp.where(rows >= cols, s, NEG_INF)
+                # bottom-right aligned for S != T (matches SDPA and
+                # flash-attn >= 2.1): query i sees keys up to i + (T - S)
+                s = jnp.where(rows + causal_offset >= cols, s, NEG_INF)
             if window > 0:
                 s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
         p = jnp.exp2(s - lse)  # lse stored in base 2 by the forward
+        # fully-masked rows store lse == NEG_INF; s is NEG_INF there too, so
+        # exp2(s - lse) == 1 everywhere in the row — zero it (their forward
+        # output is 0 by contract, so the true gradient is 0)
+        p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -373,7 +387,7 @@ def _bwd_dq_kernel(
 
     live = True
     if causal:
-        live = q_idx * block_q + block_q - 1 >= j * block_kv
+        live = q_idx * block_q + block_q - 1 + causal_offset >= j * block_kv
     if window > 0:
         w2 = window // 2
         overlap = (j * block_kv <= q_idx * block_q + block_q - 1 + w2) & (
@@ -395,7 +409,7 @@ def _bwd_dq_kernel(
 def _bwd_dkv_kernel(
     seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dk_scr, dv_scr,
-    *, causal, sm_scale, block_q, block_kv, masked, n_q, window,
+    *, causal, causal_offset, sm_scale, block_q, block_kv, masked, n_q, window,
 ):
     # innermost dim iterates over (q head in GQA group) x (q block):
     # i = qh_in_group * n_q + q_block; dk/dv accumulate across the group
@@ -430,10 +444,13 @@ def _bwd_dkv_kernel(
             rows = q_blk * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             cols = kv_idx * block_kv + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             if causal:
-                s = jnp.where(rows >= cols, s, NEG_INF)
+                # bottom-right aligned for S != T (matches SDPA and
+                # flash-attn >= 2.1): query i sees keys up to i + (T - S)
+                s = jnp.where(rows + causal_offset >= cols, s, NEG_INF)
             if window > 0:
                 s = jnp.where(jnp.abs(rows - cols) <= window // 2, s, NEG_INF)
         p = jnp.exp2(s - lse)  # [bq, bkv]
+        p = jnp.where(lse <= NEG_INF / 2, 0.0, p)  # fully-masked rows (see dq kernel)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -447,7 +464,7 @@ def _bwd_dkv_kernel(
 
     live = True
     if causal:
-        live = q_blk * block_q + block_q - 1 >= kv_idx * block_kv
+        live = q_blk * block_q + block_q - 1 + causal_offset >= kv_idx * block_kv
     if window > 0:
         w2 = window // 2
         overlap = (kv_idx * block_kv <= q_blk * block_q + block_q - 1 + w2) & (
@@ -467,7 +484,7 @@ def _bwd_dkv_kernel(
         dv_ref[:, :] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g):
+def _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res, g):
     q, k, v, seg_q, seg_kv, out, lse = res
     do = g  # [B, H, S, D]
     B, H, S, D = q.shape
@@ -488,8 +505,8 @@ def _bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g):
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel,
-            causal=causal, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
-            masked=masked, window=window,
+            causal=causal, causal_offset=causal_offset, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, masked=masked, window=window,
         ),
         grid=(B, H, S // block_q, T // block_kv),
         in_specs=[segq_spec, segkv_spec, q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
@@ -518,8 +535,8 @@ def _bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g):
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel,
-            causal=causal, sm_scale=sm_scale, block_q=block_q, block_kv=block_kv,
-            masked=masked, n_q=n_q, window=window,
+            causal=causal, causal_offset=causal_offset, sm_scale=sm_scale,
+            block_q=block_q, block_kv=block_kv, masked=masked, n_q=n_q, window=window,
         ),
         grid=(B, Hkv, T // block_kv, gq * n_q),
         in_specs=[segq_i, segkv_i, q_i, kv_i, kv_i, q_i, lse_i, lse_i],
@@ -544,19 +561,19 @@ def _bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g):
     return dq, dk, dv, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _flash(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
-    out, _ = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _flash(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window):
+    out, _ = _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window)
     return out
 
 
-def _flash_fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window):
-    out, lse = _fwd(q, k, v, seg_q, seg_kv, causal, sm_scale, block_q, block_kv, masked, window)
+def _flash_fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window):
+    out, lse = _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window)
     return out, (q, k, v, seg_q, seg_kv, out, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g):
-    return _bwd(causal, sm_scale, block_q, block_kv, masked, window, res, g)
+def _flash_bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res, g):
+    return _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -646,5 +663,6 @@ def flash_attention(
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    out = _flash(q, k, v, seg_q, seg_kv, causal, softmax_scale, bq, bkv, masked, window)
+    causal_offset = (T - S) if causal else 0
+    out = _flash(q, k, v, seg_q, seg_kv, causal, causal_offset, softmax_scale, bq, bkv, masked, window)
     return out.transpose(0, 2, 1, 3)[:, :S]

@@ -226,7 +226,9 @@ def gmm(
     # geometries fall back to ragged_dot (numerically interchangeable)
     if K % 128 or N % 128 or not _use_kernel():
         return jax.lax.ragged_dot(lhs, rhs, group_sizes.astype(jnp.int32))
-    bn = block_n if N % block_n == 0 else N
+    # non-divisible N: pick the widest lane-aligned divisor instead of the
+    # full width (a K x N rhs panel can blow the 16 MB VMEM budget)
+    bn = block_n if N % block_n == 0 else _pick_block(N, block_n)
     return _gmm(lhs, rhs, group_sizes.astype(jnp.int32), block_m, bn)
 
 

@@ -43,7 +43,9 @@ def main():
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(args.tokenizer)
-    sep_id = tok.sep_token_id or tok.eos_token_id or 0
+    sep_id = next(
+        (t for t in (tok.sep_token_id, tok.eos_token_id) if t is not None), 0
+    )  # `or`-chaining would skip a legitimate id 0 (e.g. GPT-NeoX EOS)
 
     def texts():
         for path in sorted(glob.glob(args.input)):

@@ -69,9 +69,15 @@ def cmd_filter(args):
                         if args.require_cols:
                             keep = all(r.get(c) for c in args.require_cols)
                         if keep and args.min_chars:
+                            # scope the length test to the named columns, or
+                            # to the standard text columns — auxiliary string
+                            # fields (ids, language tags) must not drop rows
+                            cols = args.require_cols or [
+                                c for c in ("query", "document", "text") if c in r
+                            ]
                             keep = all(
                                 len(str(r.get(c, ""))) >= args.min_chars
-                                for c in (args.require_cols or list(r))
+                                for c in cols
                                 if isinstance(r.get(c), str)
                             )
                 gid += 1

@@ -68,4 +68,5 @@ check("GQA 8q/2kv", 1024, 1024, 8, 2, 64, causal=True)
 check("D=128 head dim", 1024, 1024, 4, 4, 128)
 check("multi-pass T=4096", 4096, 4096, 2, 2, 64, mask=True)
 check("cross-attn T!=S", 512, 2048, 4, 4, 64, mask=True)
+check("causal cross-attn (bottom-right)", 512, 2048, 4, 4, 64, causal=True)
 print("ALL FLASH PARITY OK")

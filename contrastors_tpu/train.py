@@ -33,8 +33,18 @@ def parse_args(argv=None):
 
 def update_config_with_args(config, args):
     """CLI flags override matching fields in any arg group
-    (reference train.py:87-94)."""
-    for group in (config.train_args, config.data_args, config.model_args):
+    (reference train.py:87-94) — including the per-tower groups used by
+    dual-encoder recipes (text_data_args/text_model_args/...)."""
+    groups = (
+        config.train_args,
+        config.data_args,
+        config.text_data_args,
+        config.model_args,
+        config.text_model_args,
+        config.vision_model_args,
+        config.tower_model_args,
+    )
+    for group in groups:
         if group is None:
             continue
         for key, value in vars(args).items():
@@ -53,8 +63,14 @@ def main(argv=None):
     config = read_config(args.config)
     config = update_config_with_args(config, args)
 
-    model_type = (config.model_args or config.text_model_args).model_type
-    trainer_cls = TRAINER_REGISTRY[model_type]
+    margs = config.model_args or config.text_model_args
+    if margs is None:
+        raise SystemExit(
+            f"{args.config}: neither model_args nor text_model_args is set — "
+            "check the config's top-level keys (unknown keys are ignored by "
+            "the schema, so a typo like 'model_arg:' silently disappears)"
+        )
+    trainer_cls = TRAINER_REGISTRY[margs.model_type]
     trainer = trainer_cls(config, args.dtype)
     trainer.train()
 

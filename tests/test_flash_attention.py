@@ -223,3 +223,75 @@ def test_flash_sliding_window_matches_sdpa():
     # the window actually restricts attention (differs from global)
     o_global = sdpa(q, k, v, attention_mask=mask)
     assert not np.allclose(np.asarray(os), np.asarray(o_global), atol=1e-3)
+
+
+def test_flash_causal_cross_attention_bottom_right():
+    """causal with S != T must be bottom-right aligned (query i attends
+    keys up to i + (T - S)), matching SDPA and flash-attn >= 2.1; the
+    kernel was top-left aligned."""
+    rng = np.random.default_rng(11)
+    B, S, T, H, D = 2, 128, 384, 4, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.bfloat16)
+    out_f = flash_attention(q, k, v, causal=True, block_q=128, block_kv=128)
+    out_s = sdpa(q, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out_f, np.float32), np.asarray(out_s, np.float32), atol=2e-2
+    )
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, block_q=128, block_kv=128).astype(jnp.float32) ** 2)
+
+    def loss_s(q, k, v):
+        return jnp.sum(sdpa(q, k, v, causal=True).astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gs, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=5e-2, err_msg=name
+        )
+
+
+def test_flash_fully_masked_row_gradients_zero():
+    """A query row with NO valid keys stores lse = -inf; the backward once
+    reconstructed p = exp2(-inf - -inf) = 1 across the row, injecting
+    garbage into dk/dv whenever that row's cotangent was nonzero. The true
+    gradient through a masked row (forward output 0) is exactly zero."""
+    rng = np.random.default_rng(12)
+    B, S, H, D = 1, 128, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
+    seg = np.ones((B, S), np.int32)
+    seg[:, 64:] = 2  # two segments
+    segq = seg.copy()
+    segq[:, 96:] = 0  # rows 96.. are padding -> no valid keys for them? no:
+    # make rows 96.. belong to a segment id with NO kv rows at all
+    segq[:, 96:] = 7
+    segq_j, seg_j = jnp.asarray(segq), jnp.asarray(seg)
+
+    def loss_f(k, v):
+        # cotangent deliberately nonzero on EVERY row, including masked ones
+        o = flash_attention(q, k, v, segment_ids=segq_j, kv_segment_ids=seg_j,
+                            block_q=128, block_kv=128)
+        return jnp.sum(o.astype(jnp.float32))
+
+    def loss_s(k, v):
+        o = sdpa(q, k, v, segment_ids=segq_j, kv_segment_ids=seg_j)
+        # SDPA's masked rows yield an arbitrary uniform blend; zero them to
+        # encode the contract before summing
+        w = jnp.asarray((segq == 7), jnp.float32)[:, :, None, None]
+        return jnp.sum(o.astype(jnp.float32) * (1.0 - w))
+
+    gk_f, gv_f = jax.grad(loss_f, argnums=(0, 1))(k, v)
+    gk_s, gv_s = jax.grad(loss_s, argnums=(0, 1))(k, v)
+    assert np.isfinite(np.asarray(gk_f, np.float32)).all()
+    # bf16 column sums over 64 rows: noise floor ~8e-3
+    np.testing.assert_allclose(
+        np.asarray(gv_f, np.float32), np.asarray(gv_s, np.float32), atol=2e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(gk_f, np.float32), np.asarray(gk_s, np.float32), atol=2e-2
+    )

@@ -77,3 +77,29 @@ def test_streaming_dataset_uses_native(tmp_path, native):
     from contrastors_tpu.native import NativeGzipStream
 
     assert any(isinstance(s, NativeGzipStream) for s in ds._streams.values())
+
+
+def test_native_corrupt_gzip_surfaces_error(tmp_path):
+    """A gzip shard corrupted mid-file must FAIL indexing (return -1 ->
+    Python fallback raises), not silently return a partial index that
+    undercounts counts.json."""
+    import gzip as _gzip
+
+    from contrastors_tpu.native import get_lib, index_many
+
+    if get_lib() is None:
+        pytest.skip("native dataplane unavailable")
+    good = tmp_path / "good.jsonl.gz"
+    with _gzip.open(good, "wt") as f:
+        for i in range(200):
+            f.write(f'{{"i": {i}, "pad": "{"x" * 100}"}}\n')
+    blob = bytearray(good.read_bytes())
+    # corrupt the deflate stream well past the header
+    for off in range(len(blob) // 2, len(blob) // 2 + 16):
+        blob[off] ^= 0xFF
+    bad = tmp_path / "bad.jsonl.gz"
+    bad.write_bytes(bytes(blob))
+
+    res = index_many([str(good), str(bad)])
+    assert res[0] is not None and len(res[0]) == 200
+    assert res[1] is None, "corrupt shard must surface as an error, not a partial index"
