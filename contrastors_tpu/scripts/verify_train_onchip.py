@@ -1,0 +1,113 @@
+"""On-chip training smokes: drive the MoE contrastive path (dropless
+grouped-matmul kernel in-model) and the CLIP/LiT image-text trainer for a
+handful of real optimizer steps on the TPU, checking the losses decrease
+and stay finite. Companion to verify_flash_onchip.py; run from /root/repo:
+
+  python -m contrastors_tpu.scripts.verify_train_onchip
+
+Reuses the test-suite fixture builders (tests/ must be importable)."""
+import pathlib
+import shutil
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo/tests")
+
+tmp = pathlib.Path("/tmp/smoke2")
+shutil.rmtree(tmp, ignore_errors=True)
+tmp.mkdir(parents=True)
+
+# --- 1. MoE contrastive (BiEncoder with dropless MoE trunk) ---------------
+from contrastors_tpu.models.model_config import TrunkConfig
+from contrastors_tpu.models.biencoder import BiEncoder
+from contrastors_tpu.losses import clip_loss, router_aux_loss
+from contrastors_tpu.utils.optim import make_optimizer
+import optax
+
+cfg = TrunkConfig(
+    n_embd=256, n_layer=4, n_head=4, n_inner=512, vocab_size=512, pad_token_id=0,
+    n_positions=64, attn_impl="sdpa", activation_function="swiglu",
+    num_experts=8, moe_top_k=2, moe_every_n_layers=2, moe_impl="dropless",
+)
+be = BiEncoder(config=cfg, pooling="mean", dtype=jnp.bfloat16)
+rng = np.random.default_rng(0)
+B, S = 64, 64
+qi = jnp.asarray(rng.integers(5, 500, size=(B, S)), jnp.int32)
+di = jnp.asarray(np.roll(np.asarray(qi), 3, axis=1), jnp.int32)
+mask = jnp.ones((B, S), jnp.int32)
+params = be.init(jax.random.PRNGKey(0), qi, mask)
+tx = make_optimizer(params, 3e-3, weight_decay=0.0, max_grad_norm=1.0)
+opt = tx.init(params)
+
+
+@jax.jit
+def step(p, o):
+    def loss_fn(p):
+        q = be.apply(p, qi, mask)
+        d = be.apply(p, di, mask)
+        loss, acc = clip_loss(q["embedding"], d["embedding"], logit_scale=lambda x: x * 20.0)
+        aux = router_aux_loss(
+            q["router_logits"] + d["router_logits"], cfg.num_experts, cfg.moe_top_k,
+            attention_mask=mask,
+        )
+        return loss + 0.001 * aux, (acc, aux)
+
+    (l, (acc, aux)), g = jax.value_and_grad(loss_fn, has_aux=True)(p)
+    u, o = tx.update(g, o, p)
+    return optax.apply_updates(p, u), o, l, acc, aux
+
+
+losses = []
+for i in range(12):
+    params, opt, l, acc, aux = step(params, opt)
+    losses.append(float(l))
+print(f"MoE contrastive: loss {losses[0]:.4f} -> {losses[-1]:.4f}  acc {float(acc):.3f}  aux {float(aux):.4f}")
+assert np.isfinite(losses).all() and losses[-1] < losses[0] * 0.9
+print("MOE ON-CHIP OK")
+
+# --- 2. CLIP/LiT image-text trainer ---------------------------------------
+from test_image_text import make_vision_checkpoint, make_tar_shards
+from test_trainer_e2e import make_checkpoint_dir
+from contrastors_tpu.config import Config
+from contrastors_tpu.trainers import TRAINER_REGISTRY
+
+text_ckpt = make_checkpoint_dir(tmp)
+vis_ckpt = make_vision_checkpoint(tmp)
+shards = make_tar_shards(tmp, n_shards=2, per_shard=32)
+out = str(tmp / "run")
+cfg2 = Config(
+    train_args=dict(
+        num_epochs=1, num_train_steps=8, learning_rate=2e-3, weight_decay=0.0,
+        warmup_steps=2, schedule_type="cosine", max_grad_norm=1.0,
+        adam_beta1=0.9, adam_beta2=0.999, log_lr_every=2, log_grads_every=100,
+        wandb=False, output_dir=out,
+    ),
+    data_args=dict(
+        image_text_shards=shards, batch_size=16, eval_batch_size=16, seed=0,
+        workers=0, shuffle=True, train_num_samples=64, dataset_resampled=False,
+    ),
+    model_args=dict(model_type="locked_text"),
+    text_model_args=dict(
+        model_type="locked_text", model_name=text_ckpt, pooling="mean",
+        logit_scale=50, trainable_logit_scale=True, pretrained=True,
+        attn_impl="sdpa", freeze=True, seq_len=16,
+    ),
+    vision_model_args=dict(
+        model_type="locked_text", model_name=vis_ckpt, pooling="map",
+        pretrained=True, attn_impl="sdpa",
+    ),
+    transforms=dict(image_size=32),
+)
+trainer = TRAINER_REGISTRY["locked_text"](cfg2, "bf16")
+trainer.train()
+import json, os
+
+with open(os.path.join(out, "metrics.jsonl")) as f:
+    metrics = [json.loads(x) for x in f]
+ll = [m["loss"] for m in metrics if "loss" in m]
+print(f"LiT image-text: loss {ll[0]:.4f} -> {ll[-1]:.4f} over {len(ll)} logs")
+assert np.isfinite(ll).all() and ll[-1] < ll[0]
+print("CLIP/LIT ON-CHIP OK")
