@@ -264,7 +264,16 @@ class StreamingShardDataset:
                 }
             for url in urls:
                 key = self._norm(url)
-                n = counts.get(key, 0)
+                if key not in counts:
+                    # a silently-dropped shard shrinks the corpus with no
+                    # signal (e.g. an index built by an older key scheme);
+                    # shards too SMALL for the batch are skipped below, but
+                    # an absent key is an index mismatch — fail loudly
+                    raise KeyError(
+                        f"shard {url} (key {key!r}) is not in {bucket}/counts.json — "
+                        "re-run scripts/build_index.py on this bucket"
+                    )
+                n = counts[key]
                 quota = (n // self.world_size // self.rank_batch_size) * self.rank_batch_size
                 if quota == 0:
                     continue

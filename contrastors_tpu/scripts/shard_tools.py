@@ -75,6 +75,11 @@ def cmd_filter(args):
                             cols = args.require_cols or [
                                 c for c in ("query", "document", "text") if c in r
                             ]
+                            if not cols:
+                                raise SystemExit(
+                                    "--min_chars found no text column to test "
+                                    f"(row keys: {sorted(r)[:6]}); pass --require_cols"
+                                )
                             keep = all(
                                 len(str(r.get(c, ""))) >= args.min_chars
                                 for c in cols

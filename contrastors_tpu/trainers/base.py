@@ -62,8 +62,18 @@ class BaseTrainer(ABC):
         # units, but optax's schedule count increments once per APPLIED
         # update — one per gradient_accumulation_steps loop steps — so the
         # schedule handed to the optimizer maps update-count back to loop
-        # steps (otherwise warmup/decay run ga-times too slowly)
+        # steps (otherwise warmup/decay run ga-times too slowly). Trainers
+        # whose custom train steps apply an update EVERY loop step must not
+        # get the remap (their update count == loop count), and silently
+        # ignoring ga there would be worse — reject it.
         ga = ta.gradient_accumulation_steps or 1
+        if ga > 1 and not self._uses_grad_accumulation():
+            raise ValueError(
+                "gradient_accumulation_steps > 1 is not supported by this "
+                "trainer's custom train step (grad-cache / dual-encoder / "
+                "distill apply an optimizer update every loop step); raise "
+                "chunk_size or batch_size instead"
+            )
         opt_schedule = (lambda count: self.schedule(count * ga)) if ga > 1 else self.schedule
         self.tx = make_optimizer(
             self.params,
@@ -146,6 +156,13 @@ class BaseTrainer(ABC):
 
     def eval_loop(self, step: int):  # optional
         return {}
+
+    def _uses_grad_accumulation(self) -> bool:
+        """True when this trainer's train step honors
+        gradient_accumulation_steps (the standard stepper does; trainers
+        with custom steps override this to False — see __init__'s LR
+        schedule remap)."""
+        return True
 
     def make_standard_train_step(self, loss_fn, post_update=None):
         """Build a step from loss_fn(params, batch, rng) -> (loss, metrics),

@@ -18,6 +18,9 @@ from contrastors_tpu.trainers.text_text import TextTextTrainer
 
 
 class DistillTrainer(TextTextTrainer):
+    def _uses_grad_accumulation(self) -> bool:
+        return False  # custom train step updates every loop step
+
     def get_model(self):
         margs = self.config.model_args  # student geometry
         teacher_args = self.config.tower_model_args  # teacher checkpoint

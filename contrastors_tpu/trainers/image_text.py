@@ -23,6 +23,9 @@ from contrastors_tpu.trainers.base import BaseTrainer
 
 
 class ImageTextTrainer(BaseTrainer):
+    def _uses_grad_accumulation(self) -> bool:
+        return False  # custom train step updates every loop step
+
     def get_tokenizer(self):
         margs = self.config.text_model_args
         from transformers import AutoTokenizer

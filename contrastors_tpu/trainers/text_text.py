@@ -28,6 +28,11 @@ from contrastors_tpu.trainers.base import BaseTrainer
 
 
 class TextTextTrainer(BaseTrainer):
+    def _uses_grad_accumulation(self) -> bool:
+        # the grad-cache step updates every loop step (chunking replaces
+        # accumulation); the plain path uses the standard stepper
+        return not self.config.train_args.grad_cache
+
     def get_model(self):
         margs = self.config.model_args
         self.rng, init_rng = jax.random.split(self.rng)
@@ -219,7 +224,7 @@ class TextTextTrainer(BaseTrainer):
 
         packed = getattr(self.config.data_args, "packed", False) if self.config.data_args else False
 
-        if packed and ta.grad_cache and self.config.model_args.pooling != "mean":
+        if packed and ta.grad_cache and (self.config.model_args.pooling or "mean") != "mean":
             # the grad-cache packed design chunks over ROWS and returns the
             # raw slot matrix (pairs gathered at the loss stage) — that
             # only pools per segment, i.e. mean pooling; 'last' would need
