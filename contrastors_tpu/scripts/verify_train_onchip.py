@@ -111,3 +111,33 @@ ll = [m["loss"] for m in metrics if "loss" in m]
 print(f"LiT image-text: loss {ll[0]:.4f} -> {ll[-1]:.4f} over {len(ll)} logs")
 assert np.isfinite(ll).all() and ll[-1] < ll[0]
 print("CLIP/LIT ON-CHIP OK")
+
+# --- 3. Long-context chain: export -> load -> DynamicNTK -> flash@4096 ----
+from contrastors_tpu.models.model_config import TrunkConfig as _TC
+from contrastors_tpu.models.nomic_bert import NomicBertModel as _NBM
+from contrastors_tpu.export import export_bert_trunk
+
+lc_cfg = _TC(
+    n_embd=128, n_layer=2, n_head=2, n_inner=256, vocab_size=1024, pad_token_id=0,
+    n_positions=0, rotary_emb_fraction=1.0, rotary_emb_base=10_000,
+    activation_function="swiglu", max_trained_positions=512, attn_impl="flash",
+)
+lc_trunk = _NBM(config=lc_cfg, add_pooling_layer=False)
+lc_params = lc_trunk.init(
+    jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32)
+)
+lc_dir = str(tmp / "hf_lc")
+export_bert_trunk(lc_params, lc_cfg, lc_dir)
+words = [f"word{i}" for i in range(900)]
+(tmp / "hf_lc" / "vocab.txt").write_text("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words))
+from transformers import BertTokenizerFast
+
+BertTokenizerFast(vocab_file=str(tmp / "hf_lc" / "vocab.txt")).save_pretrained(lc_dir)
+
+from contrastors_tpu.eval.eval_long_context import build_long_context_encoder
+
+enc = build_long_context_encoder(lc_dir, seq_len=4096, batch_size=2)
+docs = [" ".join(f"word{i % 800}" for i in range(3000)), "word1 word2 word3"]
+embs = np.asarray(enc.encode(docs, prefix="search_document"))
+assert np.isfinite(embs).all() and np.allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-2)
+print("LONG-CONTEXT NTK CHAIN OK (export -> load -> NTK@4096 -> flash)")

@@ -94,3 +94,32 @@ def test_clip_model_type_parses():
     assert ModelArgs(model_type="clip").model_type == "clip"
     with pytest.raises(ValueError):
         ModelArgs(model_type="image_text")
+
+
+def test_attn_impl_typo_rejected():
+    """A typo'd attn_impl previously fell through to the SDPA path
+    silently — it must be a config error."""
+    import pytest
+
+    from contrastors_tpu.config import ModelArgs
+
+    with pytest.raises(Exception, match="attn_impl"):
+        ModelArgs(model_type="encoder", model_name="x", attn_impl="pallas")
+    for ok in ("flash", "sdpa", "flash_always"):
+        ModelArgs(model_type="encoder", model_name="x", attn_impl=ok)
+
+
+def test_matryoshka_weights_length_mismatch_rejected():
+    import pytest
+
+    from contrastors_tpu.config import TrainArgs
+
+    with pytest.raises(Exception, match="matryoshka_loss_weights"):
+        TrainArgs(
+            learning_rate=1e-4, output_dir="/tmp/x",
+            matryoshka_dims=[768, 512, 256], matryoshka_loss_weights=[1.0, 1.0],
+        )
+    TrainArgs(
+        learning_rate=1e-4, output_dir="/tmp/x",
+        matryoshka_dims=[768, 512], matryoshka_loss_weights=[1.0, 1.0],
+    )
