@@ -134,6 +134,11 @@ def load_biencoder(
         model_args.activation_function
         and "hidden_act" not in hf_cfg
         and "hidden_activation" not in hf_cfg  # modernbert spells it this way
+        # families whose converter hard-codes the activation must not be
+        # clobbered by ModelArgs' "gelu" default (open_lm is swiglu by
+        # construction — overriding it builds a plain MLP that can't hold
+        # the checkpoint's fc11/fc12 weights)
+        and hf_cfg.get("model_type") not in ("open_lm", "openlm", "clip_text_model")
     ):
         overrides.setdefault("activation_function", model_args.activation_function)
 

@@ -229,3 +229,48 @@ def test_decoder_token_classification_and_qa_heads():
     qout = qa.apply(qparams, ids, mask, start_positions=sp, end_positions=ep)
     assert qout["start_logits"].shape == (2, 16)
     assert np.isfinite(float(qout["loss"]))
+
+
+def test_open_lm_loads_through_factory(tmp_path):
+    """load_biencoder must reach the open_lm converters from a model dir
+    (regression: the factory once raised 'unsupported decoder model_type'
+    despite full converter support existing)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from contrastors_tpu.config import ModelArgs
+    from contrastors_tpu.models.auto import load_biencoder
+    from contrastors_tpu.models.hf_interop_decoder import open_lm_config_to_trunk_config
+
+    hf = dict(model_type="open_lm", vocab_size=128, hidden_dim=64, n_layers=2,
+              n_heads=4, weight_tying=False, rotary_old=False)
+    cfg = open_lm_config_to_trunk_config(hf)
+    F = cfg.n_inner
+    rng = np.random.default_rng(0)
+    sd = {"tok_embeddings.weight": rng.normal(size=(128, 64)).astype(np.float32) * 0.02,
+          "norm.weight": np.ones(64, np.float32), "norm.bias": np.zeros(64, np.float32),
+          "output.weight": rng.normal(size=(128, 64)).astype(np.float32) * 0.02}
+    for i in range(2):
+        sd[f"layers.{i}.attention.in_proj.weight"] = rng.normal(size=(192, 64)).astype(np.float32) * 0.02
+        sd[f"layers.{i}.attention.out_proj.weight"] = rng.normal(size=(64, 64)).astype(np.float32) * 0.02
+        sd[f"layers.{i}.attention_norm.weight"] = np.ones(64, np.float32)
+        sd[f"layers.{i}.attention_norm.bias"] = np.zeros(64, np.float32)
+        sd[f"layers.{i}.ffn_norm.weight"] = np.ones(64, np.float32)
+        sd[f"layers.{i}.ffn_norm.bias"] = np.zeros(64, np.float32)
+        sd[f"layers.{i}.feed_forward.w12.weight"] = rng.normal(size=(2 * F, 64)).astype(np.float32) * 0.02
+        sd[f"layers.{i}.feed_forward.w3.weight"] = rng.normal(size=(64, F)).astype(np.float32) * 0.02
+
+    d = tmp_path / "openlm"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(hf))
+    save_file(sd, str(d / "model.safetensors"))
+
+    margs = ModelArgs(model_type="encoder", model_name=str(d), pooling="last", pretrained=True)
+    module, params, cfg2 = load_biencoder(margs)
+    assert cfg2.causal and cfg2.activation_function == "swiglu"
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 127, size=(2, 8)))
+    mask = jnp.ones_like(ids)
+    # 'last' pooling needs EOS-terminated rows; use mean for the smoke
+    out = module.apply(params, ids, mask, normalize=True)
+    assert np.isfinite(np.asarray(out["embedding"], np.float32)).all()
