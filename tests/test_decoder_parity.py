@@ -274,3 +274,46 @@ def test_open_lm_loads_through_factory(tmp_path):
     # 'last' pooling needs EOS-terminated rows; use mean for the smoke
     out = module.apply(params, ids, mask, normalize=True)
     assert np.isfinite(np.asarray(out["embedding"], np.float32)).all()
+
+
+def test_clip_text_loads_through_factory(tmp_path):
+    """A clip_text_model dir loads through load_biencoder and matches the
+    torch CLIP text tower (the factory once mis-sniffed it)."""
+    import json
+
+    from safetensors.numpy import save_file
+    from transformers import CLIPTextConfig, CLIPTextModel
+
+    from contrastors_tpu.config import ModelArgs
+    from contrastors_tpu.models.auto import load_biencoder
+
+    torch.manual_seed(0)
+    hf_cfg = CLIPTextConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128, max_position_embeddings=32, hidden_act="quick_gelu",
+        attention_dropout=0.0,
+    )
+    hf = CLIPTextModel(hf_cfg).eval()
+    d = tmp_path / "clip_text"
+    d.mkdir()
+    cfg_dict = hf_cfg.to_dict()
+    cfg_dict["model_type"] = "clip_text_model"
+    (d / "config.json").write_text(json.dumps(cfg_dict))
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in torch_state_dict_to_numpy(hf.state_dict()).items()},
+        str(d / "model.safetensors"),
+    )
+
+    margs = ModelArgs(model_type="encoder", model_name=str(d), pooling="mean", pretrained=True)
+    module, params, cfg = load_biencoder(margs)
+    assert cfg.causal and cfg.activation_function == "quick_gelu"
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 128, size=(2, 16))
+    with torch.no_grad():
+        ref = hf(torch.tensor(ids)).last_hidden_state.numpy()
+    # mean-pooled unnormalized embedding must equal the torch tower's mean
+    out = module.apply(params, jnp.asarray(ids), jnp.ones((2, 16), jnp.int32), normalize=False)
+    emb = np.asarray(out["embedding"], np.float32)
+    ref_mean = ref.mean(axis=1)
+    np.testing.assert_allclose(emb, ref_mean, atol=5e-4)
