@@ -141,3 +141,67 @@ docs = [" ".join(f"word{i % 800}" for i in range(3000)), "word1 word2 word3"]
 embs = np.asarray(enc.encode(docs, prefix="search_document"))
 assert np.isfinite(embs).all() and np.allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-2)
 print("LONG-CONTEXT NTK CHAIN OK (export -> load -> NTK@4096 -> flash)")
+
+# --- 4. Remaining trainer families: mmlm / glue / distill ------------------
+# (mlm runs in bench.py; encoder via the train CLI; clip/locked_text above)
+import json as _json
+import os as _os
+
+from test_more_trainers import _train_args, make_tokenized_dataset
+from test_trainer_e2e import make_pairs_file, read_metrics
+from transformers import AutoTokenizer
+
+from contrastors_tpu.config import Config as _Cfg
+
+tok = AutoTokenizer.from_pretrained(text_ckpt)
+ml_root = tmp / "multilingual"
+ml_root.mkdir(exist_ok=True)
+for lang, n in (("en", 64), ("fr", 32)):
+    make_tokenized_dataset(ml_root, tok, n=n, name=lang)
+out_mmlm = str(tmp / "run_mmlm")
+TRAINER_REGISTRY["mmlm"](_Cfg(
+    train_args=_train_args(out_mmlm),
+    data_args=dict(tokenized_dataset=str(ml_root), mlm_prob=0.3, val_mlm_prob=0.15,
+                   batch_size=16, seed=0, workers=0, shuffle=True),
+    model_args=dict(model_type="mmlm", model_name=text_ckpt, pretrained=True, attn_impl="sdpa"),
+), "bf16").train()
+assert all(np.isfinite(m["loss"]) for m in read_metrics(out_mmlm))
+print("MMLM ON-CHIP OK")
+
+from datasets import Dataset, DatasetDict
+
+n = 48
+sents = [f"word{i % 20} word{(i * 3) % 20}" for i in range(n)]
+labels_g = [int(i % 2) for i in range(n)]
+dd = DatasetDict({
+    "train": Dataset.from_dict({"sentence": sents, "label": labels_g}),
+    "validation": Dataset.from_dict({"sentence": sents[:16], "label": labels_g[:16]}),
+})
+glue_data = str(tmp / "sst2")
+dd.save_to_disk(glue_data)
+out_glue = str(tmp / "run_glue")
+TRAINER_REGISTRY["glue"](_Cfg(
+    train_args=_train_args(out_glue, eval_strategy="steps", eval_steps=3),
+    data_args=dict(tokenized_dataset=glue_data, task_name="sst2",
+                   batch_size=16, seed=0, workers=0, shuffle=True),
+    model_args=dict(model_type="glue", model_name=text_ckpt, pretrained=True,
+                    seq_len=16, attn_impl="sdpa"),
+), "bf16").train()
+assert any("glue_sst2/accuracy" in m for m in read_metrics(out_glue))
+print("GLUE ON-CHIP OK")
+
+pairs = make_pairs_file(tmp, n=32)
+out_d = str(tmp / "run_distill")
+TRAINER_REGISTRY["distill"](_Cfg(
+    train_args=_train_args(out_d, distill_loss_fn="towers", distill_temperature=0.05),
+    data_args=dict(input_shards=pairs, batch_size=8, seed=0, workers=0, shuffle=True,
+                   streaming=False, query_max_length=16, document_max_length=16),
+    model_args=dict(model_type="distill", model_name=text_ckpt, pooling="mean",
+                    pretrained=False, distill_init_pretrained=True, attn_impl="sdpa",
+                    logit_scale=50),
+    tower_model_args=dict(model_type="distill", model_name=text_ckpt, pooling="mean",
+                          pretrained=True, attn_impl="sdpa"),
+), "bf16").train()
+assert all(np.isfinite(m["loss"]) for m in read_metrics(out_d))
+print("DISTILL ON-CHIP OK")
+print("ALL TRAINER FAMILIES DRIVEN ON CHIP")
