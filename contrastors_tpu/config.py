@@ -151,6 +151,9 @@ class ContrastiveDataArgs(DataArgs):
     # ({_id, title?, text}), queries.jsonl ({_id, text}) and qrels.tsv
     # (query-id \t corpus-id \t score)
     eval_retrieval: Optional[str] = None
+    # encode batch for the in-train retrieval eval (clamped up to the data
+    # axis size so the SPMD encode covers the mesh)
+    eval_batch_size: Optional[int] = None
     download: bool = False
     process_one_shard: bool = False
     streaming: bool = True
@@ -167,6 +170,13 @@ class ContrastiveDataArgs(DataArgs):
     packed: bool = False
     packed_seq_len: Optional[int] = None
     packed_max_segments: int = 4
+    # measure the first batch's padded-vs-packed token budgets and disable
+    # packing for the run when the predicted gain is below
+    # packed_auto_threshold (packing loses at short-doc geometries — 0.68x
+    # measured on v5e — because segment bookkeeping costs more than the
+    # removed padding)
+    packed_auto: bool = False
+    packed_auto_threshold: float = 1.15
 
 
 class ImageTextDataArgs(DataArgs):
@@ -209,14 +219,19 @@ class ModelArgs(_Base):
     gradient_checkpointing: bool = False
     hamming: bool = False
     ema: bool = False
+    ema_decay: float = 0.999
     patch_dropout: float = 0.0
     num_experts: int = 0
     moe_top_k: int = 1
     ffn_div: int = 1
-    # "dropless" (megablocks-semantics ragged grouped matmul) or "capacity"
-    # (fixed-capacity dispatch); reference spellings "megablocks" /
+    # "dropless" (megablocks-semantics ragged grouped matmul), "capacity"
+    # (fixed-capacity dispatch), or "auto" (default): dropless on a single
+    # host, capacity under expert parallelism — the dropless ragged layout
+    # is data-dependent and GSPMD cannot partition it over "expert" (it
+    # all-gathers the expert weights per device), while the capacity
+    # einsums shard collective-free. Reference spellings "megablocks" /
     # "contrastors" (block.py:193) are accepted as aliases.
-    moe_impl: str = "dropless"
+    moe_impl: str = "auto"
     moe_normalize_expert_weights: bool = False
     expert_choice_router: bool = False
     num_shared_experts: int = 0
@@ -254,10 +269,10 @@ class ModelArgs(_Base):
         # dispatch
         aliases = {"megablocks": "dropless", "contrastors": "capacity"}
         v = aliases.get(v, v)
-        if v not in ("dropless", "capacity"):
+        if v not in ("auto", "dropless", "capacity"):
             raise ValueError(
-                f"moe_impl must be 'dropless' or 'capacity' (or reference "
-                f"aliases 'megablocks'/'contrastors'), got {v!r}"
+                f"moe_impl must be 'auto', 'dropless' or 'capacity' (or "
+                f"reference aliases 'megablocks'/'contrastors'), got {v!r}"
             )
         return v
 

@@ -60,12 +60,18 @@ def grad_cache_loss_and_grads(
     direct_chunks: int = 0,
     direct_chunks_d: Optional[int] = None,
     return_metrics: bool = False,
+    loss_has_aux: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
     """Returns (loss, param_grads) — or (loss, param_grads, extra_grads)
     when extra_params is given (loss-stage parameters such as a trainable
     logit scale: loss_fn is then called as loss_fn(q, d, extra_params)).
     With return_metrics=True a metrics dict is appended (currently
-    {"router_aux": total}). The returned loss INCLUDES
+    {"router_aux": total}, merged with the loss-stage aux dict when
+    loss_has_aux is set). With loss_has_aux=True, loss_fn returns
+    (scalar, metrics_dict) — metrics (e.g. in-batch accuracy, the quantity
+    the reference logs per dataset at loss.py:127-130) are computed once on
+    the cached logits during the loss stage at negligible cost and do not
+    enter the gradient. The returned loss INCLUDES
     router_aux_coef * total_router_aux — the same objective whose gradient
     is returned, so loss curves are comparable with the non-cache path.
 
@@ -157,12 +163,17 @@ def grad_cache_loss_and_grads(
 
     # ---- loss on full embeddings, grads wrt embeddings ---------------------
     extra_grads = None
+    loss_aux: Dict[str, Any] = {}
     if extra_params is not None:
-        loss, (gq, gd, extra_grads) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
-            q_embs, d_embs, extra_params
-        )
+        loss, (gq, gd, extra_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=loss_has_aux
+        )(q_embs, d_embs, extra_params)
     else:
-        loss, (gq, gd) = jax.value_and_grad(loss_fn, argnums=(0, 1))(q_embs, d_embs)
+        loss, (gq, gd) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=loss_has_aux
+        )(q_embs, d_embs)
+    if loss_has_aux:
+        loss, loss_aux = loss
     # split cotangents into the direct part (applied straight through the
     # held vjp) and the cached part; per-chunk embedding count can differ
     # from chunk_size (packed batches: chunk rows each yield max_segments
@@ -225,5 +236,5 @@ def grad_cache_loss_and_grads(
     if extra_params is not None:
         out = out + (extra_grads,)
     if return_metrics:
-        out = out + ({"router_aux": total_aux},)
+        out = out + (dict(loss_aux, router_aux=total_aux),)
     return out

@@ -3,4 +3,6 @@ from contrastors_tpu.parallel.mesh import (  # noqa: F401
     shard_batch,
     replicate,
     data_axis_size,
+    shard_map,
+    divisor_chunk,
 )

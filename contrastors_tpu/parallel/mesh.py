@@ -55,3 +55,22 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map with the pre-0.8 fallback."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def divisor_chunk(chunk: int, rows: int) -> int:
+    """Largest chunk size <= `chunk` that divides `rows` — grad-cache chunking
+    is execution-only (gradients are exact for any chunk), so clamping to the
+    local row count is always safe."""
+    c = max(1, min(int(chunk), int(rows)))
+    while rows % c:
+        c -= 1
+    return c

@@ -38,6 +38,18 @@ class BaseTrainer(ABC):
         self.mesh = make_mesh(pa.data, pa.tensor, pa.expert)
         self.process_index = jax.process_index()
 
+        # moe_impl="auto": dropless (megablocks semantics, Pallas gmm) on a
+        # single host; capacity under expert parallelism — the dropless
+        # ragged layout cannot be partitioned over "expert" by GSPMD (it
+        # would all-gather every expert weight per device; see layers/moe.py
+        # and test_expert_parallel.py's HLO assertions)
+        ep = self.mesh.shape.get("expert", 1)
+        for margs_ in (config.model_args, config.text_model_args, config.tower_model_args):
+            if margs_ is not None and getattr(margs_, "moe_impl", None) == "auto":
+                margs_.moe_impl = "capacity" if ep > 1 else "dropless"
+                if getattr(margs_, "num_experts", 0):
+                    print(f"[moe] moe_impl=auto -> {margs_.moe_impl} (expert axis = {ep})")
+
         self.tokenizer = self.get_tokenizer()
         self.dataloader, self.steps_per_epoch = self.get_dataloaders()
         self.total_steps = ta.num_train_steps or (ta.num_epochs * self.steps_per_epoch)
@@ -100,7 +112,7 @@ class BaseTrainer(ABC):
         self.ema_params = None
         if margs is not None and getattr(margs, "ema", False):
             self.ema_params = jax.tree_util.tree_map(jnp.copy, self.params)
-            decay = 0.999
+            decay = float(getattr(margs, "ema_decay", 0.999))
 
             @jax.jit
             def _ema(e, p):
@@ -268,7 +280,10 @@ class BaseTrainer(ABC):
     # -- loop ------------------------------------------------------------------
     def train(self):
         ta = self.config.train_args
-        train_step = self.make_train_step()
+        # deferred until after the first batch's transform_host_batch: the
+        # packed-auto heuristic (text_text.py) may flip the packing flag the
+        # step closure branches on
+        train_step = None
         profile_dir = None
         if ta.profile:
             profile_dir = os.path.join(ta.output_dir or ".", "trace")
@@ -300,6 +315,8 @@ class BaseTrainer(ABC):
                     host_batch = next(data_iter)
 
                 host_batch = self.transform_host_batch(host_batch)
+                if train_step is None:
+                    train_step = self.make_train_step()
                 meta = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
                 arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
                 batch = shard_batch(arrays, self.mesh)

@@ -102,6 +102,9 @@ class ImageTextTrainer(BaseTrainer):
         return ds, steps
 
     def make_train_step(self):
+        if self.config.train_args.grad_cache:
+            return self._make_grad_cache_step()
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng):
             def loss_fn(p):
@@ -127,6 +130,160 @@ class ImageTextTrainer(BaseTrainer):
             )
 
         return train_step
+
+    def _make_grad_cache_step(self):
+        """Large-batch LiT/CLIP step via the chunked-remat grad cache.
+
+        The reference reaches global batch 16,384 for the vision alignment
+        recipe with DeepSpeed ZeRO-2 + CPU offload (reference
+        configs/deepspeed/image_text.json:17-28, trainers/base.py:141-159);
+        here the grad cache bounds vision-tower activation memory at one
+        chunk, and in LiT only the vision tower needs pass 2 at all — the
+        text side is frozen (d_trainable=False skips its replay) or fed
+        precomputed embeddings (reference image_text_loader.py:480).
+
+        On a data axis > 1 the step runs inside shard_map: each device
+        chunks its local rows, the symmetric loss runs on the sharded
+        [local, global] similarity matrices, and param grads arrive summed
+        via the replicated-input transpose psum (same design as the
+        text grad-cache step — SURVEY §7 hard part 8).
+        """
+        from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
+        from contrastors_tpu.losses import clip_loss_symmetric
+
+        ta = self.config.train_args
+        text_args = self.config.text_model_args
+        chunk = ta.chunk_size or 64
+        precomputed = bool(text_args.precomputed)
+        text_trainable = not (text_args.freeze or precomputed)
+        trainable_scale = self.config.vision_model_args.trainable_logit_scale
+        ndata = self.mesh.shape.get("data", 1)
+        gc_axis = (
+            "data"
+            if (
+                ndata > 1
+                and self.mesh.shape.get("expert", 1) == 1
+                and self.mesh.shape.get("tensor", 1) == 1
+            )
+            else None
+        )
+
+        def encode_image(params, chunk_batch, chunk_rng):
+            px = chunk_batch["pixel_values"]
+            if px.dtype == jnp.uint8:
+                # pixels ship to the device as uint8 (4x smaller HBM/PCIe
+                # footprint at 16k-batch scale) and normalize per chunk
+                mean, std = self._pixel_stats()
+                px = (px.astype(self.dtype) / 255.0 - mean) / std
+            emb = self.dual.apply(
+                params, method=self.dual.encode_image, pixel_values=px,
+                deterministic=False, rngs={"dropout": chunk_rng},
+            )
+            return {"embedding": emb}
+
+        def encode_text(params, chunk_batch, chunk_rng):
+            if "text_embeddings" in chunk_batch:
+                return {"embedding": chunk_batch["text_embeddings"]}
+            emb = self.dual.apply(
+                params, method=self.dual.encode_text,
+                input_ids=chunk_batch["input_ids"],
+                attention_mask=chunk_batch["attention_mask"],
+                deterministic=False, rngs={"dropout": chunk_rng},
+            )
+            return {"embedding": emb}
+
+        def scale_fn(extra):
+            s = extra["logit_scale"]
+            if not trainable_scale:
+                s = jax.lax.stop_gradient(s)
+            return lambda x: x * jnp.exp(s)
+
+        def loss_fn(img, txt, extra):
+            loss = clip_loss_symmetric(img, txt, scale_fn(extra), axis_name=gc_axis)
+            if gc_axis is not None:
+                # local mean scaled so the device-sum of grads equals the
+                # global-batch mean objective
+                loss = loss / ndata
+            return loss
+
+        def gc_compute(params, img_b, txt_b, rng):
+            if gc_axis is not None:
+                rng = jax.random.fold_in(rng, jax.lax.axis_index(gc_axis))
+            # chunk is per-device; clamp to a divisor of the local rows
+            from contrastors_tpu.parallel import divisor_chunk
+
+            rows = img_b["pixel_values"].shape[0]
+            loss, grads, extra_grads = grad_cache_loss_and_grads(
+                params, img_b, txt_b, encode_image, encode_text, loss_fn,
+                chunk_size=divisor_chunk(chunk, rows), rng=rng,
+                d_trainable=text_trainable,
+                extra_params=params["params"]["logit_scale"],
+            )
+            # the logit scale lives inside the dual params tree; its pass-2
+            # grad is zero (the encoders never touch it) — add the
+            # loss-stage grad in place
+            grads = dict(grads)
+            grads["params"] = dict(grads["params"])
+            grads["params"]["logit_scale"] = jax.tree_util.tree_map(
+                jnp.add, grads["params"]["logit_scale"], extra_grads
+            )
+            if gc_axis is not None:
+                loss = jax.lax.psum(loss, gc_axis)
+            return loss, grads
+
+        if gc_axis is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from contrastors_tpu.parallel import shard_map
+
+            gc_fn = shard_map(
+                gc_compute,
+                mesh=self.mesh,
+                in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=(P(), P()),
+            )
+        else:
+            gc_fn = gc_compute
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            img_b = {"pixel_values": batch["pixel_values"]}
+            if "text_embeddings" in batch:
+                txt_b = {"text_embeddings": batch["text_embeddings"]}
+            else:
+                txt_b = {
+                    "input_ids": batch["input_ids"],
+                    "attention_mask": batch["attention_mask"],
+                }
+            loss, grads = gc_fn(params, img_b, txt_b, rng)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            scale = new_params["params"]["logit_scale"]["logit_scale"]
+            return (
+                new_params,
+                new_opt,
+                {
+                    "loss": loss,
+                    "grad_norm": optax.global_norm(grads),
+                    "logit_scale": jnp.exp(scale),
+                },
+            )
+
+        return train_step
+
+    def _pixel_stats(self):
+        """(mean, std) as [3,1,1] arrays in compute dtype for on-device
+        normalization of uint8 pixel batches."""
+        from contrastors_tpu.config import OPENAI_IMAGE_MEAN, OPENAI_IMAGE_STD
+
+        t = self.config.transforms
+        mean = np.asarray(
+            (t.mean if t and t.mean else OPENAI_IMAGE_MEAN), np.float32
+        ).reshape(3, 1, 1)
+        std = np.asarray(
+            (t.std if t and t.std else OPENAI_IMAGE_STD), np.float32
+        ).reshape(3, 1, 1)
+        return jnp.asarray(mean, self.dtype), jnp.asarray(std, self.dtype)
 
     # -- eval -------------------------------------------------------------
     def eval_loop(self, step: int):
@@ -213,18 +370,43 @@ class ImageTextTrainer(BaseTrainer):
 
 
 def _overlay_tower(params, tower: str, tower_params):
+    """Overlay separately-loaded tower params onto the combined dual tree.
+
+    Strict: every source leaf must land on an identically-shaped
+    destination leaf — a renamed or reshaped tower param silently leaving
+    random init in place is exactly the failure mode the shape-checked
+    overlay in models/auto.py guards against for single towers.
+    """
     import flax
 
     p = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else dict(params)
     src = tower_params["params"] if "params" in tower_params else tower_params
 
-    def rec(dst, s):
-        for k, v in s.items():
-            if isinstance(v, dict):
-                if k in dst:
-                    rec(dst[k], v)
-            elif k in dst:
-                dst[k] = jnp.asarray(v, dtype=dst[k].dtype)
+    dropped = []
 
-    rec(p["params"][tower], src)
+    def rec(dst, s, prefix):
+        for k, v in s.items():
+            path = prefix + (str(k),)
+            if isinstance(v, dict):
+                if k in dst and isinstance(dst[k], dict):
+                    rec(dst[k], v, path)
+                else:
+                    dropped.append("/".join(path) + "/**")
+            elif k in dst:
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"tower '{tower}' overlay shape mismatch at "
+                        f"{'/'.join(path)}: checkpoint {tuple(v.shape)} vs "
+                        f"model {tuple(dst[k].shape)}"
+                    )
+                dst[k] = jnp.asarray(v, dtype=dst[k].dtype)
+            else:
+                dropped.append("/".join(path))
+
+    rec(p["params"][tower], src, ())
+    if dropped:
+        raise ValueError(
+            f"tower '{tower}' overlay dropped {len(dropped)} checkpoint "
+            f"key(s) not present in the model: {sorted(dropped)[:8]}"
+        )
     return p

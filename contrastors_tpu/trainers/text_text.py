@@ -109,8 +109,43 @@ class TextTextTrainer(BaseTrainer):
         return L, K
 
     def transform_host_batch(self, host_batch):
-        if not getattr(self.config.data_args, "packed", False):
+        dargs = self.config.data_args
+        if not getattr(dargs, "packed", False):
             return host_batch
+        if getattr(dargs, "packed_auto", False) and not getattr(self, "_packed_decided", False):
+            # one-shot geometry decision on the first batch, before the train
+            # step is built (base.train defers make_train_step for this):
+            # packing wins only when removed padding outweighs segment
+            # bookkeeping — 7.5x at the 2048-token pretrain geometry, 0.68x
+            # at short docs (bench.py packed detail)
+            self._packed_decided = True
+            import numpy as np
+
+            from contrastors_tpu.data.packing import packing_efficiency
+
+            gains, weights = [], []
+            for col in ("query", "document"):
+                mask = host_batch.get(f"{col}_attention_mask")
+                if mask is None:
+                    continue
+                L, K = self._pack_geometry(col)
+                gains.append(packing_efficiency(np.asarray(mask), L, K))
+                weights.append(np.asarray(mask).size)
+            gain = float(np.average(gains, weights=weights)) if gains else 1.0
+            if jax.process_count() > 1:
+                # per-rank batches differ; every process must reach the SAME
+                # decision or the compiled step shapes diverge (deadlock)
+                from contrastors_tpu.utils.dist import process_allmean
+
+                gain = float(process_allmean({"gain": gain})["gain"])
+            if gain < dargs.packed_auto_threshold:
+                dargs.packed = False
+                print(
+                    f"[packing] auto-disabled: predicted gain {gain:.2f}x < "
+                    f"{dargs.packed_auto_threshold:.2f}x threshold", flush=True,
+                )
+                return host_batch
+            print(f"[packing] auto-kept: predicted gain {gain:.2f}x", flush=True)
         from contrastors_tpu.data.packing import pack_tokenized
 
         out = dict(host_batch)
@@ -193,7 +228,14 @@ class TextTextTrainer(BaseTrainer):
             self.params["model"],
             self.tokenizer,
             seq_len=self.config.data_args.document_max_length or 256,
-            batch_size=64,
+            # SPMD corpus encode over the data axis (the reference re-encodes
+            # the full corpus per rank through a non-sharded adapter,
+            # trainers/text_text.py:453-471); batch must cover the mesh
+            batch_size=max(
+                self.config.data_args.eval_batch_size or 64,
+                self.mesh.shape.get("data", 1),
+            ),
+            mesh=self.mesh,
             query_prefix=(
                 margs.query_prefix.rstrip(": ") if margs.add_prefix and margs.query_prefix else None
             ),
@@ -241,6 +283,28 @@ class TextTextTrainer(BaseTrainer):
             direct_q = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_q", 0)
             direct_d = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_d", 0)
 
+            # Sharding (SURVEY §7 hard part 8): the grad-cache chunk loop is a
+            # sequential lax.map whose leading (chunk) dim GSPMD cannot
+            # partition — under pjit it all-gathers the token arrays and
+            # REPLICATES the whole computation per device (verified by HLO in
+            # tests/test_sharded_loss_scale.py). So on a data axis > 1 the
+            # step runs inside shard_map: each device chunks its LOCAL rows,
+            # only document embeddings cross ICI (all_gather in the loss), the
+            # logits matrix stays [local_q, global_d] per device, and param
+            # grads arrive globally summed via the replicated-input transpose
+            # psum. chunk_size is therefore per-device in both modes.
+            ndata = self.mesh.shape.get("data", 1)
+            gc_axis = (
+                "data"
+                if (
+                    ndata > 1
+                    and self.mesh.shape.get("expert", 1) == 1
+                    and self.mesh.shape.get("tensor", 1) == 1
+                    and not packed
+                )
+                else None
+            )
+
             def encode(model_params, chunk_batch, chunk_rng):
                 out = self._encode(
                     model_params,
@@ -285,11 +349,56 @@ class TextTextTrainer(BaseTrainer):
                 return packed_encode
 
             def loss_fn(q, d, scale_params):
-                loss, _ = clip_loss(
+                loss, acc = clip_loss(
                     q, d, self._scale_fn(scale_params),
+                    axis_name=gc_axis,
                     bidirectional=ta.loss_fn == "clip_bidirectional",
                 )
-                return loss
+                if gc_axis is not None:
+                    # local mean scaled so the device-sum (what the
+                    # replicated-param transpose psum produces for the grads)
+                    # equals the global-batch mean objective
+                    loss = loss / ndata
+                return loss, {"accuracy": acc}
+
+            def gc_compute(params, qb, db, rng):
+                if gc_axis is not None:
+                    rng = jax.random.fold_in(rng, jax.lax.axis_index(gc_axis))
+                # chunk is per-device; clamp to a divisor of the local rows
+                # (execution-only — grads are exact for any chunk size)
+                from contrastors_tpu.parallel import divisor_chunk
+
+                cq = divisor_chunk(chunk, qb["input_ids"].shape[0])
+                cd = divisor_chunk(chunk, db["input_ids"].shape[0])
+                loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
+                    params["model"], qb, db, encode, encode, loss_fn,
+                    chunk_size=cq, chunk_size_d=cd, rng=rng,
+                    router_aux_coef=aux_coef if use_moe else 0.0,
+                    extra_params=params["logit_scale"],
+                    direct_chunks=direct_q, direct_chunks_d=direct_d,
+                    return_metrics=True, loss_has_aux=True,
+                )
+                if gc_axis is not None:
+                    loss = jax.lax.psum(loss, gc_axis)
+                    gc_metrics = {
+                        "accuracy": jax.lax.pmean(gc_metrics["accuracy"], gc_axis),
+                        "router_aux": jax.lax.psum(gc_metrics["router_aux"], gc_axis),
+                    }
+                return loss, {"model": grads_model, "logit_scale": grads_scale}, gc_metrics
+
+            if gc_axis is not None:
+                from jax.sharding import PartitionSpec as P
+
+                from contrastors_tpu.parallel import shard_map
+
+                gc_fn = shard_map(
+                    gc_compute,
+                    mesh=self.mesh,
+                    in_specs=(P(), P("data"), P("data"), P()),
+                    out_specs=(P(), P(), P()),
+                )
+            else:
+                gc_fn = gc_compute
 
             @partial(jax.jit, donate_argnums=(0, 1))
             def train_step(params, opt_state, batch, rng):
@@ -319,30 +428,21 @@ class TextTextTrainer(BaseTrainer):
                         direct_chunks=direct_q,
                         direct_chunks_d=direct_d,
                         return_metrics=True,
+                        loss_has_aux=True,
                     )
+                    grads = {"model": grads_model, "logit_scale": grads_scale}
                 else:
                     qb = {"input_ids": batch["query_input_ids"], "attention_mask": batch["query_attention_mask"]}
                     db = {"input_ids": batch["document_input_ids"], "attention_mask": batch["document_attention_mask"]}
-                    loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
-                        params["model"],
-                        qb,
-                        db,
-                        encode,
-                        encode,
-                        loss_fn,
-                        chunk_size=chunk,
-                        rng=rng,
-                        router_aux_coef=aux_coef if use_moe else 0.0,
-                        extra_params=params["logit_scale"],
-                        direct_chunks=direct_q,
-                        direct_chunks_d=direct_d,
-                        return_metrics=True,
-                    )
-                grads = {"model": grads_model, "logit_scale": grads_scale}
+                    loss, grads, gc_metrics = gc_fn(params, qb, db, rng)
                 updates, new_opt = self.tx.update(grads, opt_state, params)
                 new_params = clamp_scale(optax.apply_updates(params, updates))
                 gnorm = optax.global_norm(grads)
-                metrics = {"loss": loss, "grad_norm": gnorm}
+                metrics = {
+                    "loss": loss,
+                    "grad_norm": gnorm,
+                    "accuracy": gc_metrics["accuracy"],
+                }
                 if use_moe:
                     metrics["router_aux"] = gc_metrics["router_aux"]
                 return new_params, new_opt, metrics

@@ -465,3 +465,135 @@ def test_winogavil_task(tmp_path):
     )
     assert 0.0 <= res_t["avg_jaccard_score"] <= 1.0
     assert set(res_t) >= {"jaccard_score_5", "jaccard_score_6", "jaccard_score_5-6"}
+
+
+# -- grad-cache large-batch path (reference reaches batch 16,384 via
+# DeepSpeed ZeRO-2 + CPU offload, configs/deepspeed/image_text.json:17-28;
+# here the chunked-remat grad cache, sharded over the data axis) -----------
+
+
+def _lit_config(tmp_path, out_name, model_type="locked_text", **train_overrides):
+    text_ckpt = make_checkpoint_dir(tmp_path)
+    vis_ckpt = make_vision_checkpoint(tmp_path)
+    shards = make_tar_shards(tmp_path, n_shards=1, per_shard=16)
+    train_args = dict(
+        num_epochs=1, num_train_steps=1, learning_rate=1e-3, weight_decay=0.0,
+        warmup_steps=0, schedule_type="cosine", max_grad_norm=1.0,
+        adam_beta1=0.9, adam_beta2=0.95, log_lr_every=1, log_grads_every=100,
+        wandb=False, output_dir=str(tmp_path / out_name),
+    )
+    train_args.update(train_overrides)
+    return Config(
+        train_args=train_args,
+        data_args=dict(
+            image_text_shards=shards, batch_size=16, eval_batch_size=8, seed=0,
+            workers=0, shuffle=True, train_num_samples=16,
+        ),
+        model_args=dict(model_type=model_type),
+        text_model_args=dict(
+            model_type=model_type, model_name=text_ckpt, pooling="mean",
+            freeze=(model_type == "locked_text"), pretrained=True, seq_len=12,
+            attn_impl="sdpa",
+        ),
+        vision_model_args=dict(
+            model_type=model_type, model_name=vis_ckpt, pooling="map",
+            pretrained=True, logit_scale=None, trainable_logit_scale=True,
+            attn_impl="sdpa",
+        ),
+        transforms=dict(image_size=32),
+    )
+
+
+@pytest.mark.parametrize("model_type", ["locked_text", "clip"])
+def test_image_text_grad_cache_matches_plain(tmp_path, model_type):
+    """GradCache image-text step (shard_map over 8 devices, chunked towers)
+    computes the same loss as the plain full-batch step; for the unlocked
+    CLIP case (both towers replayed) the gradients match too."""
+    import jax
+    from contrastors_tpu.parallel import shard_batch
+    from contrastors_tpu.parallel.mesh import replicate
+
+    cfg_plain = _lit_config(tmp_path, f"plain_{model_type}", model_type)
+    cfg_gc = _lit_config(
+        tmp_path / "gc", f"gc_{model_type}", model_type,
+        grad_cache=True, chunk_size=2,
+    )
+    tr_plain = TRAINER_REGISTRY[model_type](cfg_plain, "fp32")
+    tr_gc = TRAINER_REGISTRY[model_type](cfg_gc, "fp32")
+
+    # identical checkpoints + seeds -> identical initial params
+    a = np.asarray(tr_plain.params["params"]["text"]["trunk"]["emb_ln"]["weight"])
+    b = np.asarray(tr_gc.params["params"]["text"]["trunk"]["emb_ln"]["weight"])
+    np.testing.assert_array_equal(a, b)
+
+    arrays = next(iter(tr_plain.dataloader))
+    arrays = {k: v for k, v in arrays.items() if isinstance(v, np.ndarray)}
+    rng = jax.random.PRNGKey(3)
+
+    results = {}
+    for name, tr in (("plain", tr_plain), ("gc", tr_gc)):
+        step = tr.make_train_step()
+        with tr.mesh:
+            p = replicate(jax.device_get(tr.params), tr.mesh)
+            o = replicate(jax.device_get(tr.opt_state), tr.mesh)
+            batch = shard_batch(arrays, tr.mesh)
+            _, _, metrics = step(p, o, batch, rng)
+            results[name] = {k: float(v) for k, v in metrics.items()}
+
+    np.testing.assert_allclose(
+        results["gc"]["loss"], results["plain"]["loss"], rtol=1e-5, atol=1e-6
+    )
+    if model_type == "clip":
+        # all params trainable -> the chunked grads must be exact
+        np.testing.assert_allclose(
+            results["gc"]["grad_norm"], results["plain"]["grad_norm"], rtol=1e-4
+        )
+
+
+def test_image_text_grad_cache_uint8_pixels(tmp_path):
+    """uint8 pixel batches (4x smaller host->device transfer) normalize on
+    device inside the chunk encoder and match the float pipeline exactly."""
+    import jax
+    from contrastors_tpu.parallel import shard_batch
+    from contrastors_tpu.parallel.mesh import replicate
+    from contrastors_tpu.config import OPENAI_IMAGE_MEAN, OPENAI_IMAGE_STD
+
+    cfg = _lit_config(tmp_path, "u8", grad_cache=True, chunk_size=2)
+    tr = TRAINER_REGISTRY["locked_text"](cfg, "fp32")
+    arrays = next(iter(tr.dataloader))
+    arrays = {k: v for k, v in arrays.items() if isinstance(v, np.ndarray)}
+
+    u8 = np.random.default_rng(0).integers(0, 256, size=arrays["pixel_values"].shape).astype(np.uint8)
+    mean = np.asarray(OPENAI_IMAGE_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(OPENAI_IMAGE_STD, np.float32).reshape(1, 3, 1, 1)
+    as_float = (u8.astype(np.float32) / 255.0 - mean) / std
+
+    step = tr.make_train_step()
+    rng = jax.random.PRNGKey(5)
+    losses = {}
+    for name, px in (("u8", u8), ("f32", as_float.astype(np.float32))):
+        with tr.mesh:
+            p = replicate(jax.device_get(tr.params), tr.mesh)
+            o = replicate(jax.device_get(tr.opt_state), tr.mesh)
+            batch = shard_batch(dict(arrays, pixel_values=px), tr.mesh)
+            _, _, metrics = step(p, o, batch, rng)
+            losses[name] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["u8"], losses["f32"], rtol=1e-6)
+
+
+def test_overlay_tower_strict(tmp_path):
+    """A checkpoint key with no destination (or the wrong shape) must raise
+    instead of silently leaving random init in place."""
+    from contrastors_tpu.trainers.image_text import _overlay_tower
+
+    params = {"params": {"text": {"trunk": {"w": np.zeros((2, 2), np.float32)}}}}
+    good = {"params": {"trunk": {"w": np.ones((2, 2), np.float32)}}}
+    out = _overlay_tower(params, "text", good)
+    np.testing.assert_array_equal(np.asarray(out["params"]["text"]["trunk"]["w"]), 1.0)
+
+    with pytest.raises(ValueError, match="dropped"):
+        _overlay_tower(params, "text", {"params": {"trunk": {"w_renamed": np.ones((2, 2))}}})
+    with pytest.raises(ValueError, match="shape mismatch"):
+        _overlay_tower(params, "text", {"params": {"trunk": {"w": np.ones((3, 2))}}})
+    with pytest.raises(ValueError, match="dropped"):
+        _overlay_tower(params, "text", {"params": {"extra_block": {"w": np.ones((2, 2))}}})
