@@ -107,3 +107,69 @@ class Encoder:
         else:
             texts = list(corpus)
         return self.encode(texts, prefix=self.document_prefix)
+
+
+class HFEncoder:
+    """Baseline adapter: any LOCAL HF checkpoint as an Encoder for A/B
+    parity tables (reference eval/encoder.py:338-374 — AutoModel +
+    mean pooling; CLIP text towers via get_text_features). Runs torch on
+    CPU — it exists to benchmark external models against the TPU Encoder,
+    not to be fast. The reference's OpenAI_Encoder (encoder.py:39-104) is a
+    network API client and is intentionally out of scope offline."""
+
+    def __init__(
+        self,
+        model_name: str,
+        seq_len: int = 512,
+        batch_size: int = 16,
+        normalize: bool = True,
+        query_prefix: Optional[str] = None,
+        document_prefix: Optional[str] = None,
+    ):
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        self._torch = torch
+        self.model = AutoModel.from_pretrained(model_name, trust_remote_code=True)
+        self.model.eval()
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.clip_model = getattr(self.model.config, "model_type", "") == "clip"
+        if self.tokenizer.model_max_length > seq_len:
+            self.tokenizer.model_max_length = seq_len
+        self.batch_size = batch_size
+        self.normalize = normalize
+        self.query_prefix = query_prefix
+        self.document_prefix = document_prefix
+
+    def encode(self, sentences: List[str], prefix: Optional[str] = None) -> np.ndarray:
+        torch = self._torch
+        if prefix:
+            sentences = [f"{prefix}: {s}" for s in sentences]
+        out = []
+        with torch.no_grad():
+            for start in range(0, len(sentences), self.batch_size):
+                enc = self.tokenizer(
+                    sentences[start : start + self.batch_size],
+                    padding=True, truncation=True, return_tensors="pt",
+                )
+                if self.clip_model:
+                    pooled = self.model.get_text_features(**enc)
+                else:
+                    hidden = self.model(**enc)[0]
+                    m = enc["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+                    pooled = (hidden * m).sum(1) / m.sum(1).clamp(min=1e-9)
+                out.append(pooled.float().numpy())
+        emb = np.concatenate(out)
+        if self.normalize:
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb
+
+    def encode_queries(self, queries: List[str], **kw) -> np.ndarray:
+        return self.encode(queries, prefix=self.query_prefix)
+
+    def encode_corpus(self, corpus, **kw) -> np.ndarray:
+        if corpus and isinstance(corpus[0], dict):
+            texts = [(d.get("title", "") + " " + d["text"]).strip() for d in corpus]
+        else:
+            texts = list(corpus)
+        return self.encode(texts, prefix=self.document_prefix)

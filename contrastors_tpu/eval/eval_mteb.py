@@ -118,7 +118,7 @@ def task_prefixes(task_name: str):
     return (p, p)
 
 
-def main():
+def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_name", required=True)
     parser.add_argument("--seq_len", type=int, default=512)
@@ -127,16 +127,26 @@ def main():
     parser.add_argument("--matryoshka_dim", type=int, default=None)
     parser.add_argument("--output_dir", default="mteb_results")
     parser.add_argument("--tasks", nargs="*", default=None)
-    args = parser.parse_args()
+    parser.add_argument(
+        "--local_data_dir", default=None,
+        help="run tasks from local data via the offline mini_mteb runner "
+        "(<dir>/<TaskName>/ — see eval/mini_mteb.py) instead of the mteb pkg",
+    )
+    args = parser.parse_args(argv)
 
-    try:
-        import mteb
-    except ImportError as e:
-        raise SystemExit(
-            "the `mteb` package is not installed in this image; the adapter "
-            "(contrastors_tpu.eval.encoder.Encoder) is MTEB-interface "
-            "compatible — install mteb in a networked environment to run."
-        ) from e
+    if args.local_data_dir:
+        from contrastors_tpu.eval import mini_mteb as mteb
+
+        mteb.set_data_dir(args.local_data_dir)
+    else:
+        try:
+            import mteb
+        except ImportError as e:
+            raise SystemExit(
+                "the `mteb` package is not installed in this image; either "
+                "install mteb in a networked environment, or pass "
+                "--local_data_dir to run the offline mini_mteb tasks."
+            ) from e
 
     import jax.numpy as jnp
     from transformers import AutoTokenizer

@@ -196,6 +196,35 @@ def test_encoder_mesh_sharded_encode(tmp_path):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_hf_encoder_baseline_adapter(tmp_path):
+    """HFEncoder (local torch AutoModel + mean pooling, reference
+    eval/encoder.py:338-374) agrees with the flax Encoder on the same
+    checkpoint — the A/B baseline path for parity tables."""
+    from contrastors_tpu.eval.encoder import HFEncoder
+    from contrastors_tpu.eval.retrieval import evaluate_retrieval
+
+    enc_flax, _ = build_encoder(tmp_path)
+    enc_flax.query_prefix = None
+    enc_flax.document_prefix = None
+    ckpt = str(tmp_path / "tiny-bert")  # same dir build_encoder created
+    enc_hf = HFEncoder(ckpt, seq_len=16, batch_size=4)
+
+    sents = [f"word{i} word{i+2}" for i in range(6)]
+    a = enc_flax.encode(sents)
+    b = enc_hf.encode(sents)
+    assert b.shape == a.shape
+    np.testing.assert_allclose(np.linalg.norm(b, axis=-1), 1.0, rtol=1e-5)
+    cos = (a * b).sum(-1)
+    assert cos.min() > 0.999, cos
+
+    # drop-in for the retrieval harness (the A/B use case)
+    corpus = {f"d{i}": {"title": "", "text": f"word{i} word{i+1}"} for i in range(8)}
+    queries = {f"q{i}": f"word{i} word{i+1}" for i in range(4)}
+    qrels = {f"q{i}": {f"d{i}": 1} for i in range(4)}
+    res = evaluate_retrieval(enc_hf, corpus, queries, qrels, ks=(1,))
+    assert res["ndcg@1"] == 1.0
+
+
 def test_nomic_export_round_trip(tmp_path):
     """Flagship rotary+swiglu trunk -> trust_remote_code package -> torch
     forward matches the flax forward (round-1 VERDICT Missing #1; reference
