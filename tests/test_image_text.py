@@ -467,6 +467,47 @@ def test_winogavil_task(tmp_path):
     assert set(res_t) >= {"jaccard_score_5", "jaccard_score_6", "jaccard_score_5-6"}
 
 
+def test_datacomp_tasklist_and_aggregation():
+    """Bundled 40-task DataComp metadata + the reference's aggregate
+    accounting: ImageNet headline, three fixed groups, 38-task average
+    (FairFace/UTKFace report-only)."""
+    from contrastors_tpu.eval.datacomp import (
+        DATACOMP_EXCLUDED_FROM_AVERAGE,
+        DATACOMP_GROUPS,
+        datacomp_aggregate_scores,
+        load_datacomp_tasklist,
+    )
+
+    tl = load_datacomp_tasklist()
+    assert len(tl) == 40
+    names = {v["name"] for v in tl.values()}
+    assert {"ImageNet 1k", "Flickr", "WinoGAViL", "FairFace"} <= names
+    for members in DATACOMP_GROUPS.values():
+        assert members <= names
+    assert all(
+        {"name", "main_metric", "size"} <= set(v) for v in tl.values()
+    )
+    assert tl["vtab/caltech101"]["main_metric"] == "mean_per_class_recall"
+    assert tl["imagenet1k"]["num_classes"] == 1000
+
+    # full synthetic run: every task scores 0.5 except ImageNet 1.0
+    scores = {v["name"]: 0.5 for v in tl.values()}
+    scores["ImageNet 1k"] = 1.0
+    agg = datacomp_aggregate_scores(scores)
+    assert agg["ImageNet"] == 1.0
+    assert agg["VTAB"] == pytest.approx(0.5)
+    assert agg["Retrieval"] == pytest.approx(0.5)
+    assert agg["n_tasks"] == 38 == agg["n_tasks_expected"]
+    assert agg["Average"] == pytest.approx((37 * 0.5 + 1.0) / 38)
+
+    # partial run reports coverage instead of asserting
+    partial = datacomp_aggregate_scores({"CIFAR-10": 0.7, "FairFace": 0.9})
+    assert partial["n_tasks"] == 1 and partial["Average"] == pytest.approx(0.7)
+
+    with pytest.raises(ValueError, match="unknown"):
+        datacomp_aggregate_scores({"NotATask": 0.1})
+
+
 # -- grad-cache large-batch path (reference reaches batch 16,384 via
 # DeepSpeed ZeRO-2 + CPU offload, configs/deepspeed/image_text.json:17-28;
 # here the chunked-remat grad cache, sharded over the data axis) -----------
