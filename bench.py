@@ -24,6 +24,118 @@ import numpy as np
 import optax
 
 
+def e2e_input_pipeline(chunk: int, per_chip_batch: int, n_chips: int, iters: int = 4):
+    """End-to-end pairs/s INCLUDING the host input pipeline (round-2 VERDICT
+    weak #9 / next #8): real StreamingShardDataset over an indexed jsonl.gz
+    bucket, real wordpiece tokenization to the recipe's static 32/256-token
+    shapes, PrefetchIterator overlapping host work with the device step —
+    the same path `python -m contrastors_tpu.train` runs, minus wandb.
+    Compares against the synthetic in-memory number the headline reports."""
+    import gzip
+    import json as _json
+    import os
+    import tempfile
+
+    import yaml
+    from transformers import BertTokenizerFast
+
+    from contrastors_tpu.config import Config
+    from contrastors_tpu.data.indexing import build_bucket_index
+    from contrastors_tpu.export import trunk_config_to_nomic_hf_dict
+    from contrastors_tpu.models.presets import nomic_bert_2048
+    from contrastors_tpu.trainers import TRAINER_REGISTRY
+    from contrastors_tpu.utils.prefetch import PrefetchIterator
+    from contrastors_tpu.parallel import shard_batch
+
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    rng = np.random.default_rng(7)
+
+    # flagship trunk config + synthetic 30k wordpiece vocab (random init —
+    # throughput does not depend on the weights)
+    ckpt = os.path.join(tmp, "trunk")
+    os.makedirs(ckpt)
+    with open(os.path.join(ckpt, "config.json"), "w") as f:
+        _json.dump(trunk_config_to_nomic_hf_dict(nomic_bert_2048()), f)
+    vocab_path = os.path.join(ckpt, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"word{i}" for i in range(30000)]))
+    BertTokenizerFast(vocab_file=vocab_path).save_pretrained(ckpt)
+
+    # one indexed shard of realistic variable-length pairs
+    bucket = os.path.join(tmp, "data", "pairs")
+    os.makedirs(bucket)
+    B = per_chip_batch * n_chips
+    n_rows = B * (iters + 2)
+    with gzip.open(os.path.join(bucket, "shard-00000.jsonl.gz"), "wt") as f:
+        for _ in range(n_rows):
+            q = " ".join(f"word{i}" for i in rng.integers(0, 30000, size=rng.integers(6, 24)))
+            d = " ".join(f"word{i}" for i in rng.integers(0, 30000, size=rng.integers(80, 240)))
+            f.write(_json.dumps({"query": q, "document": d}) + "\n")
+    build_bucket_index(bucket)
+    spec = os.path.join(tmp, "spec.yaml")
+    with open(spec, "w") as f:
+        yaml.safe_dump(
+            {
+                "datasets": [
+                    {
+                        "name": "bench",
+                        "bucket": os.path.join(bucket, "shard-{00000..00000}.jsonl.gz"),
+                        "objective": {"type": "paired", "columns": ["query", "document"]},
+                    }
+                ]
+            },
+            f,
+        )
+
+    cfg = Config(
+        train_args=dict(
+            num_train_steps=iters + 2, learning_rate=2e-4, weight_decay=0.01,
+            warmup_steps=0, schedule_type="cosine", max_grad_norm=1.0,
+            adam_beta1=0.9, adam_beta2=0.999, log_lr_every=1000,
+            log_grads_every=1000, wandb=False, output_dir=os.path.join(tmp, "run"),
+            grad_cache=True, chunk_size=chunk,
+        ),
+        data_args=dict(
+            input_shards=spec, batch_size=B, seed=0, workers=0, shuffle=True,
+            streaming=True, query_max_length=32, document_max_length=256,
+        ),
+        model_args=dict(
+            model_type="encoder", model_name=ckpt, pooling="mean",
+            logit_scale=50, trainable_logit_scale=False, pretrained=False,
+            attn_impl="flash", num_negatives=-1, add_prefix=False,
+        ),
+    )
+    trainer = TRAINER_REGISTRY["encoder"](cfg, "bf16")
+    step = trainer.make_train_step()
+    depth = trainer.config.parallel_args.prefetch
+    it = PrefetchIterator(iter(trainer.dataloader), depth=depth)
+
+    params, opt_state = trainer.params, trainer.opt_state
+    rng_key = jax.random.PRNGKey(0)
+    with trainer.mesh:
+        # warmup: compile + fill the prefetch queue
+        for _ in range(2):
+            hb = next(it)
+            arrays = {k: v for k, v in hb.items() if isinstance(v, np.ndarray)}
+            rng_key, sk = jax.random.split(rng_key)
+            params, opt_state, m = step(params, opt_state, shard_batch(arrays, trainer.mesh), sk)
+            _ = float(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            hb = next(it)
+            arrays = {k: v for k, v in hb.items() if isinstance(v, np.ndarray)}
+            rng_key, sk = jax.random.split(rng_key)
+            params, opt_state, m = step(params, opt_state, shard_batch(arrays, trainer.mesh), sk)
+            _ = float(m["loss"])
+        dt = (time.perf_counter() - t0) / iters
+    return {
+        "e2e_pairs_per_sec_chip": round(B / dt / n_chips, 2),
+        "e2e_step_ms": round(dt * 1000, 1),
+        "prefetch_depth": depth,
+        "host_cores": os.cpu_count(),
+    }
+
+
 def main():
     import argparse
 
@@ -50,6 +162,10 @@ def main():
     parser.add_argument("--direct_q", type=int, default=-1, help="-1 = all query chunks")
     parser.add_argument("--direct_d", type=int, default=0)
     parser.add_argument("--skip_mlm", action="store_true")
+    parser.add_argument("--skip_vision", action="store_true")
+    parser.add_argument("--skip_e2e", action="store_true")
+    parser.add_argument("--vision_chunk", type=int, default=32)
+    parser.add_argument("--vision_per_chip_batch", type=int, default=512)
     args = parser.parse_args()
 
     n_chips = len(jax.devices())
@@ -261,6 +377,118 @@ def main():
             "mlm_loss": float(ml),
         }
 
+    # -- secondary: LiT vision alignment at the nomic_embed_vision_v1.5
+    # geometry (reference configs/train/nomic_embed_vision_v1.5.yaml:
+    # eva02 ViT-B/16 @224, MAP pooling, frozen text tower, global batch
+    # 16,384 = 512 images/chip on a 32-chip pod; the reference needs
+    # DeepSpeed ZeRO-2 + CPU offload to fit it, configs/deepspeed/
+    # image_text.json:17-28 — here the grad cache bounds vision activations
+    # at one chunk). Pixels ship uint8 and normalize on device per chunk
+    # (trainers/image_text.py grad-cache path).
+    vision_detail = None
+    if not args.skip_vision:
+        import gc
+
+        try:
+            del m_params, m_opt
+        except NameError:
+            pass
+        gc.collect()
+        from contrastors_tpu.models.biencoder import BiEncoder as _BiEncoder
+        from contrastors_tpu.models.hf_interop_timm import timm_name_to_trunk_config
+
+        Bv = args.vision_per_chip_batch * n_chips
+        v_chunk = args.vision_chunk
+        img = 224
+        vcfg = timm_name_to_trunk_config("vit_eva02_base_patch16_224")
+        vmodel = _BiEncoder(config=vcfg, trunk_type="vision", pooling="map", dtype=jnp.bfloat16)
+        tmodel = BiEncoder(config=cfg, pooling="mean", dtype=jnp.bfloat16)  # frozen text
+        t_len = 77  # reference text_model_args.seq_len
+
+        px_u8 = jnp.asarray(rng.integers(0, 256, size=(Bv, 3, img, img)), jnp.uint8)
+        t_ids = jnp.asarray(rng.integers(5, 30000, size=(Bv, t_len)), jnp.int32)
+        t_mask = jnp.ones_like(t_ids)
+        mean = jnp.asarray(np.array([0.4815, 0.4578, 0.4082], np.float32).reshape(3, 1, 1), jnp.bfloat16)
+        std = jnp.asarray(np.array([0.2686, 0.2613, 0.2758], np.float32).reshape(3, 1, 1), jnp.bfloat16)
+
+        v_params = {
+            "vision": vmodel.init(key, pixel_values=jnp.zeros((1, 3, img, img), jnp.bfloat16)),
+            "text": tmodel.init(key, input_ids=t_ids[:2], attention_mask=t_mask[:2]),
+            "logit_scale": scale_mod.init(key, jnp.ones(())),
+        }
+        n_vision = sum(x.size for x in jax.tree_util.tree_leaves(v_params["vision"]))
+        n_text = sum(x.size for x in jax.tree_util.tree_leaves(v_params["text"]))
+        v_tx = make_optimizer(v_params, 5e-4, weight_decay=0.01, max_grad_norm=1.0)
+        v_opt = v_tx.init(v_params)
+
+        def encode_img(p, b, r):
+            px = (b["px"].astype(jnp.bfloat16) / 255.0 - mean) / std
+            return {"embedding": vmodel.apply(p, pixel_values=px)["embedding"]}
+
+        def encode_txt(p, b, r):
+            return {
+                "embedding": tmodel.apply(p, input_ids=b["ids"], attention_mask=b["mask"])["embedding"]
+            }
+
+        def v_loss_fn(q, d, scale_params):
+            loss, _ = clip_loss(q, d, lambda x: scale_mod.apply(scale_params, x), bidirectional=True)
+            return loss
+
+        @jax.jit
+        def v_step(params, opt_state, vb, tb, rng):
+            # LiT: only the vision tower trains; the frozen text encode runs
+            # once in pass 1 (d_trainable=False skips its replay + grads)
+            loss, g_img, g_scale = grad_cache_loss_and_grads(
+                {"vision": params["vision"]},
+                vb, tb,
+                lambda p, b, r: encode_img(p["vision"], b, r),
+                lambda p, b, r: encode_txt(jax.lax.stop_gradient(params["text"]), b, r),
+                v_loss_fn,
+                chunk_size=v_chunk, rng=rng, extra_params=params["logit_scale"],
+                d_trainable=False,
+            )
+            grads = {
+                "vision": g_img["vision"],
+                "text": jax.tree_util.tree_map(jnp.zeros_like, params["text"]),
+                "logit_scale": g_scale,
+            }
+            updates, opt_state = v_tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        vb = {"px": px_u8}
+        tb = {"ids": t_ids, "mask": t_mask}
+        v_params, v_opt, vl = v_step(v_params, v_opt, vb, tb, jax.random.PRNGKey(3))
+        _ = float(vl)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            v_params, v_opt, vl = v_step(v_params, v_opt, vb, tb, jax.random.PRNGKey(i))
+            _ = float(vl)
+        dt_v = (time.perf_counter() - t0) / iters
+        img_per_sec_chip = Bv / dt_v / n_chips
+        v_tokens = (img // vcfg.patch_size) ** 2 + 1  # patches + cls
+        hw_flops_pair = 8 * n_vision * v_tokens + 2 * n_text * t_len
+        vision_detail = {
+            "vision_images_per_sec_chip": round(img_per_sec_chip, 1),
+            "vision_step_ms": round(dt_v * 1000, 1),
+            "vision_per_chip_batch": args.vision_per_chip_batch,
+            "vision_chunk": v_chunk,
+            "vision_params_m": round(n_vision / 1e6, 1),
+            "vision_mfu_hw_8pt": round(img_per_sec_chip * hw_flops_pair / 1e12 / peak_tflops, 3),
+            "vision_loss": float(vl),
+        }
+
+    # -- secondary: end-to-end pairs/s through the real input pipeline ------
+    e2e_detail = None
+    if not args.skip_e2e:
+        import gc
+
+        gc.collect()
+        e2e_detail = e2e_input_pipeline(chunk, per_chip_batch, n_chips)
+        e2e_detail["synthetic_pairs_per_sec_chip"] = round(pairs_per_sec_chip, 2)
+        e2e_detail["e2e_vs_synthetic"] = round(
+            e2e_detail["e2e_pairs_per_sec_chip"] / pairs_per_sec_chip, 3
+        )
+
     result = {
         "metric": "contrastive_pairs_per_sec_per_chip_16k_batch",
         "value": round(pairs_per_sec_chip, 2),
@@ -287,6 +515,8 @@ def main():
                     "mfu_model_6pt": round(mfu_model, 3),
                     **({"packed": packed_detail} if packed_detail else {}),
                     **({"mlm": mlm_detail} if mlm_detail else {}),
+                    **({"vision": vision_detail} if vision_detail else {}),
+                    **({"e2e": e2e_detail} if e2e_detail else {}),
                 }
             }
         ),

@@ -117,15 +117,19 @@ class MoEMLP(nn.Module):
             # zero-weight (pad) rows still flow through but contribute 0.
             from contrastors_tpu.ops.grouped_matmul import aligned_group_layout
 
-            block_m = 128
+            block_m = int(getattr(cfg, "moe_block_m", 128))
             flat_e = top_e.reshape(-1)  # [N*k]
             token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_k)
-            dest, group_sizes, P = aligned_group_layout(flat_e, E, block_m)
-            xs = (
-                jnp.zeros((P, D), self.dtype)
-                .at[dest]
-                .set(jnp.take(x, token_of, axis=0).astype(self.dtype))
+            # gather dispatch: a [P] int scatter builds row->token, then one
+            # row gather places the tokens — replaces the [P, D] float
+            # scatter (TPU scatters serialize; round-3 dropless-gap work).
+            # Sentinel N hits the appended zero row; its cotangent lands on
+            # x_pad[N] and is discarded by the concat VJP.
+            dest, group_sizes, P, src = aligned_group_layout(
+                flat_e, E, block_m, src_of=token_of, sentinel=N
             )
+            x_pad = jnp.concatenate([x.astype(self.dtype), jnp.zeros((1, D), self.dtype)], axis=0)
+            xs = jnp.take(x_pad, src, axis=0)
             y = self._expert_mlps_grouped(xs, group_sizes, E, D, F_hid, gated, act, block_m)
             # gather each assignment's output row back and combine by weight
             y_assign = jnp.take(y, dest, axis=0).reshape(N, top_k, D)

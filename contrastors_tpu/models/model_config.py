@@ -115,6 +115,7 @@ class TrunkConfig:
     # dispatch (Switch-style, can drop under extreme imbalance)
     moe_impl: str = "dropless"
     moe_capacity_factor: float = 2.0  # capacity impl: slots = cf * N * k / E
+    moe_block_m: int = 128  # dropless impl: group-alignment / gmm row block
     ffn_div: int = 1
     moe_normalize_expert_weights: bool = False
     expert_choice_router: bool = False

@@ -50,16 +50,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _block_experts(group_sizes: jnp.ndarray, num_blocks: int, block_m: int) -> jnp.ndarray:
-    """Block index -> expert id owning that row block. group_sizes are
+def _block_experts(group_sizes: jnp.ndarray, num_blocks: int, block_m: int):
+    """(block -> owning expert id, block -> active flag). group_sizes are
     block_m-aligned; empty groups own no blocks; trailing blocks past the
-    last group map to the last expert (rows there are zero)."""
+    last group map to the last expert with active=0 — the kernels skip
+    their matmuls entirely and zero-fill (the rows are padding), so the
+    E*block_m worst-case alignment tail costs DMA but no MXU time."""
     offsets = jnp.cumsum(group_sizes) - group_sizes  # [E] aligned starts
     starts = jnp.arange(num_blocks, dtype=jnp.int32) * block_m
     # last e with offsets[e] <= start, skipping empty groups (equal offsets)
-    return (
+    blk_e = (
         jnp.searchsorted(offsets, starts, side="right").astype(jnp.int32) - 1
     ).clip(0)
+    active = (starts < jnp.sum(group_sizes)).astype(jnp.int32)
+    return blk_e, active
 
 
 # ---------------------------------------------------------------------------
@@ -67,16 +71,24 @@ def _block_experts(group_sizes: jnp.ndarray, num_blocks: int, block_m: int) -> j
 # ---------------------------------------------------------------------------
 
 
-def _gmm_kernel(blk_e_ref, lhs_ref, rhs_ref, out_ref):
-    out_ref[...] = jax.lax.dot_general(
-        lhs_ref[...],
-        rhs_ref[...],
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+def _gmm_kernel(blk_e_ref, act_ref, lhs_ref, rhs_ref, out_ref):
+    i = pl.program_id(1)
+
+    @pl.when(act_ref[i] == 1)
+    def _compute():
+        out_ref[...] = jax.lax.dot_general(
+            lhs_ref[...],
+            rhs_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+    @pl.when(act_ref[i] == 0)
+    def _padding():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
 
-def _gmm_call(lhs, rhs, blk_e, block_m, block_n):
+def _gmm_call(lhs, rhs, blk_e, act, block_m, block_n):
     # grid (n, m) with m innermost: groups are contiguous in m, so the rhs
     # block index (be[i], 0, j) only changes at expert boundaries and the
     # resident expert panel is reused across the whole group — rhs traffic
@@ -85,13 +97,13 @@ def _gmm_call(lhs, rhs, blk_e, block_m, block_n):
     E, _, N = rhs.shape
     nb_m, nb_n = M // block_m, N // block_n
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb_n, nb_m),
         in_specs=[
-            pl.BlockSpec((block_m, K), lambda j, i, be: (i, 0)),
-            pl.BlockSpec((None, K, block_n), lambda j, i, be: (be[i], 0, j)),
+            pl.BlockSpec((block_m, K), lambda j, i, be, act: (i, 0)),
+            pl.BlockSpec((None, K, block_n), lambda j, i, be, act: (be[i], 0, j)),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i, be: (i, j)),
+        out_specs=pl.BlockSpec((block_m, block_n), lambda j, i, be, act: (i, j)),
     )
     return pl.pallas_call(
         _gmm_kernel,
@@ -101,7 +113,7 @@ def _gmm_call(lhs, rhs, blk_e, block_m, block_n):
             dimension_semantics=("parallel", "parallel")
         ),
         interpret=_interpret(),
-    )(blk_e, lhs, rhs)
+    )(blk_e, act, lhs, rhs)
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +121,7 @@ def _gmm_call(lhs, rhs, blk_e, block_m, block_n):
 # ---------------------------------------------------------------------------
 
 
-def _tgmm_kernel(blk_e_ref, lhs_ref, dout_ref, drhs_ref, acc_scr, *, nb_m):
+def _tgmm_kernel(blk_e_ref, act_ref, lhs_ref, dout_ref, drhs_ref, acc_scr, *, nb_m):
     i = pl.program_id(1)  # m block (innermost -> consecutive per expert)
 
     first = i == 0
@@ -120,12 +132,16 @@ def _tgmm_kernel(blk_e_ref, lhs_ref, dout_ref, drhs_ref, acc_scr, *, nb_m):
     def _init():
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    acc_scr[...] += jax.lax.dot_general(
-        lhs_ref[...],
-        dout_ref[...],
-        (((0,), (0,)), ((), ())),  # contract the row dim: [K, bn]
-        preferred_element_type=jnp.float32,
-    )
+    # inactive (pure alignment-padding) blocks contribute exactly zero —
+    # skip their MXU work
+    @pl.when(act_ref[i] == 1)
+    def _accum():
+        acc_scr[...] += jax.lax.dot_general(
+            lhs_ref[...],
+            dout_ref[...],
+            (((0,), (0,)), ((), ())),  # contract the row dim: [K, bn]
+            preferred_element_type=jnp.float32,
+        )
 
     last = i == nb_m - 1
     if nb_m > 1:
@@ -136,18 +152,18 @@ def _tgmm_kernel(blk_e_ref, lhs_ref, dout_ref, drhs_ref, acc_scr, *, nb_m):
         drhs_ref[...] = acc_scr[...].astype(drhs_ref.dtype)
 
 
-def _tgmm_call(lhs, dout, blk_e, E, block_m, block_n):
+def _tgmm_call(lhs, dout, blk_e, act, E, block_m, block_n):
     M, K = lhs.shape
     N = dout.shape[1]
     nb_m, nb_n = M // block_m, N // block_n
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb_n, nb_m),  # m innermost: same-expert blocks consecutive
         in_specs=[
-            pl.BlockSpec((block_m, K), lambda j, i, be: (i, 0)),
-            pl.BlockSpec((block_m, block_n), lambda j, i, be: (i, j)),
+            pl.BlockSpec((block_m, K), lambda j, i, be, act: (i, 0)),
+            pl.BlockSpec((block_m, block_n), lambda j, i, be, act: (i, j)),
         ],
-        out_specs=pl.BlockSpec((None, K, block_n), lambda j, i, be: (be[i], 0, j)),
+        out_specs=pl.BlockSpec((None, K, block_n), lambda j, i, be, act: (be[i], 0, j)),
         scratch_shapes=[pltpu.VMEM((K, block_n), jnp.float32)],
     )
     out = pl.pallas_call(
@@ -158,7 +174,7 @@ def _tgmm_call(lhs, dout, blk_e, E, block_m, block_n):
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=_interpret(),
-    )(blk_e, lhs, dout)
+    )(blk_e, act, lhs, dout)
     return out
 
 
@@ -169,9 +185,8 @@ def _tgmm_call(lhs, dout, blk_e, E, block_m, block_n):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _gmm(lhs, rhs, group_sizes, block_m, block_n):
-    E = rhs.shape[0]
-    blk_e = _block_experts(group_sizes, lhs.shape[0] // block_m, block_m)
-    return _gmm_call(lhs, rhs, blk_e, block_m, block_n)
+    blk_e, act = _block_experts(group_sizes, lhs.shape[0] // block_m, block_m)
+    return _gmm_call(lhs, rhs, blk_e, act, block_m, block_n)
 
 
 def _gmm_fwd(lhs, rhs, group_sizes, block_m, block_n):
@@ -191,13 +206,13 @@ def _gmm_bwd(block_m, block_n, res, dout):
     lhs, rhs, group_sizes = res
     E, K, N = rhs.shape
     nb_m = lhs.shape[0] // block_m
-    blk_e = _block_experts(group_sizes, nb_m, block_m)
+    blk_e, act = _block_experts(group_sizes, nb_m, block_m)
     # dlhs: same grouped matmul against rhs^T ([E, N, K])
     rhs_t = jnp.swapaxes(rhs, 1, 2)
-    dlhs = _gmm_call(dout.astype(rhs_t.dtype), rhs_t, blk_e, block_m, _pick_block(K, block_n))
+    dlhs = _gmm_call(dout.astype(rhs_t.dtype), rhs_t, blk_e, act, block_m, _pick_block(K, block_n))
     # drhs: per-expert accumulation of lhs_block^T @ dout_block
     bn = _pick_block(N, max(128, (3 * 2**20) // (4 * K) // 128 * 128))
-    drhs = _tgmm_call(lhs, dout.astype(lhs.dtype), blk_e, E, block_m, bn)
+    drhs = _tgmm_call(lhs, dout.astype(lhs.dtype), blk_e, act, E, block_m, bn)
     # experts that own no rows were never visited -> mask garbage to zero
     drhs = jnp.where((group_sizes > 0)[:, None, None], drhs, 0.0).astype(rhs.dtype)
     return dlhs.astype(lhs.dtype), drhs, None
@@ -232,16 +247,24 @@ def gmm(
     return _gmm(lhs, rhs, group_sizes.astype(jnp.int32), block_m, bn)
 
 
-def aligned_group_layout(flat_e: jnp.ndarray, num_groups: int, block_m: int):
+def aligned_group_layout(
+    flat_e: jnp.ndarray, num_groups: int, block_m: int, src_of=None, sentinel: int = 0
+):
     """Dropless dispatch layout: place the A = len(flat_e) assignments in
     expert-sorted order with every group start aligned to block_m.
 
-    Returns (dest [A], group_sizes_padded [E], num_rows P):
-      dest[a] = destination row of assignment a (original order) in the
-      [P, ...] aligned buffer; P is static: round_up(A, bm) + E*bm covers
-      the worst-case per-group padding. Rows not hit by any assignment
-      are padding (callers must fill them with zeros — scatter into a
-      zero buffer does exactly that).
+    Returns (dest [A], group_sizes_padded [E], num_rows P) — plus, when
+    `src_of` [A] is given (the source token id of each assignment), a
+    fourth element `src` [P] mapping each aligned row to its source token,
+    with `sentinel` at padding rows (callers point it at an appended zero
+    row). Building xs as a GATHER `x_pad[src]` replaces the [P, D] float
+    scatter with a [P] int scatter + row gather — cheaper on TPU, where
+    scatters serialize (round-3 dropless-gap work).
+
+    dest[a] = destination row of assignment a (original order) in the
+    [P, ...] aligned buffer; P is static: round_up(A, bm) + E*bm covers
+    the worst-case per-group padding. Rows not hit by any assignment are
+    padding (zeros via the gather sentinel / scatter-into-zeros).
     """
     A = flat_e.shape[0]
     E = num_groups
@@ -256,4 +279,7 @@ def aligned_group_layout(flat_e: jnp.ndarray, num_groups: int, block_m: int):
     dest_sorted = jnp.take(off, e_sorted).astype(jnp.int32) + rank
     dest = jnp.zeros((A,), jnp.int32).at[order].set(dest_sorted)
     P = (A + block_m - 1) // block_m * block_m + E * block_m
-    return dest, gp.astype(jnp.int32), P
+    if src_of is None:
+        return dest, gp.astype(jnp.int32), P
+    src = jnp.full((P,), sentinel, jnp.int32).at[dest].set(src_of.astype(jnp.int32))
+    return dest, gp.astype(jnp.int32), P, src

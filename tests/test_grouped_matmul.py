@@ -34,9 +34,35 @@ def _random_problem(seed=0, E=4, K=128, N=128, bm=8):
 
 def test_block_experts_map():
     gp = jnp.asarray([16, 0, 24, 8], jnp.int32)
-    blk = np.asarray(_block_experts(gp, 8, 8))
+    blk, act = _block_experts(gp, 8, 8)
     # rows: [0,16) -> e0, [16,40) -> e2 (e1 empty), [40,48) -> e3, rest e3
-    np.testing.assert_array_equal(blk, [0, 0, 2, 2, 2, 3, 3, 3])
+    np.testing.assert_array_equal(np.asarray(blk), [0, 0, 2, 2, 2, 3, 3, 3])
+    # trailing blocks past sum(gp)=48 are pure padding: compute-skipped
+    np.testing.assert_array_equal(np.asarray(act), [1, 1, 1, 1, 1, 1, 0, 0])
+
+
+def test_aligned_group_layout_src_gather():
+    """src (row -> source token) inverts dest and sentinels padding rows,
+    so xs = x_pad[src] equals the scatter construction exactly."""
+    rng = np.random.default_rng(3)
+    E, bm, N, k = 4, 8, 16, 2
+    flat_e = jnp.asarray(rng.integers(0, E, size=N * k), jnp.int32)
+    token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), k)
+    from contrastors_tpu.ops.grouped_matmul import aligned_group_layout
+
+    dest, gp, P, src = aligned_group_layout(flat_e, E, bm, src_of=token_of, sentinel=N)
+    src = np.asarray(src)
+    dest = np.asarray(dest)
+    np.testing.assert_array_equal(src[dest], np.asarray(token_of))
+    pad_rows = np.setdiff1d(np.arange(P), dest)
+    assert (src[pad_rows] == N).all()
+
+    x = rng.standard_normal((N, 5)).astype(np.float32)
+    x_pad = np.concatenate([x, np.zeros((1, 5), np.float32)])
+    xs_gather = x_pad[src]
+    xs_scatter = np.zeros((P, 5), np.float32)
+    xs_scatter[dest] = x[np.asarray(token_of)]
+    np.testing.assert_array_equal(xs_gather, xs_scatter)
 
 
 def test_gmm_matches_ragged_dot(interpret_kernel):

@@ -135,6 +135,13 @@ def test_text_text_trainer_grad_cache(tmp_path):
     trainer = run_trainer(cfg)
     metrics = read_metrics(out)
     assert all(np.isfinite(m["loss"]) for m in metrics)
+    # the 16k flagship path logs in-batch accuracy like the plain path
+    # (reference loss.py:127-130; computed on the cached logits)
+    acc_keys = [k for m in metrics for k in m if k.startswith("accuracy")]
+    assert acc_keys, f"grad-cache path logged no accuracy: {metrics[0].keys()}"
+    assert all(
+        0.0 <= m[k] <= 1.0 for m in metrics for k in m if k.startswith("accuracy")
+    )
 
 
 def test_text_text_trainer_grad_cache_hybrid_direct(tmp_path):
