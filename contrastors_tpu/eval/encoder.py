@@ -109,6 +109,67 @@ class Encoder:
         return self.encode(texts, prefix=self.document_prefix)
 
 
+class OpenAIEncoder:
+    """Baseline adapter over the OpenAI embeddings API (reference
+    eval/encoder.py:39-104 OpenAI_Encoder): token-budget truncation via
+    tiktoken, chunked requests with one retry, MTEB/BEIR encode surface.
+    Requires the `openai` + `tiktoken` packages and network — both absent
+    from this image, so construction raises a clear error offline; the
+    class exists so A/B tables against API models run unchanged in a
+    connected environment."""
+
+    def __init__(
+        self,
+        embedding_model: str = "text-embedding-ada-002",
+        batch_size: int = 32,
+        cutoff: int = 8192,
+        retry_seconds: float = 30.0,
+    ):
+        try:
+            import tiktoken
+            from openai import OpenAI
+        except ImportError as e:
+            raise ImportError(
+                "OpenAIEncoder needs the `openai` and `tiktoken` packages "
+                "(and network access) — unavailable in this offline image"
+            ) from e
+        self.client = OpenAI()
+        self.embedding_model = embedding_model
+        self.encoding = tiktoken.get_encoding("cl100k_base")
+        self.batch_size = batch_size
+        self.cutoff = cutoff
+        self.retry_seconds = retry_seconds
+
+    def _truncate(self, text: str) -> str:
+        toks = self.encoding.encode(text)
+        return self.encoding.decode(toks[: self.cutoff]) if len(toks) > self.cutoff else text
+
+    def encode(self, sentences: List[str], **kw) -> np.ndarray:
+        import time
+
+        sentences = [self._truncate(s) for s in sentences]
+        out = []
+        for start in range(0, len(sentences), self.batch_size):
+            chunk = sentences[start : start + self.batch_size]
+            try:
+                resp = self.client.embeddings.create(input=chunk, model=self.embedding_model)
+            except Exception:
+                time.sleep(self.retry_seconds)
+                resp = self.client.embeddings.create(input=chunk, model=self.embedding_model)
+            out.extend(d.embedding for d in resp.data)
+        return np.asarray(out, dtype=np.float32)
+
+    def encode_queries(self, queries: List[str], **kw) -> np.ndarray:
+        return self.encode(queries)
+
+    def encode_corpus(self, corpus, **kw) -> np.ndarray:
+        if corpus and isinstance(corpus[0], dict):
+            texts = [(d.get("title", "") + " " + d["text"]).strip() for d in corpus]
+        else:
+            texts = list(corpus)
+        return self.encode(texts)
+
+
 class HFEncoder:
     """Baseline adapter: any LOCAL HF checkpoint as an Encoder for A/B
     parity tables (reference eval/encoder.py:338-374 — AutoModel +

@@ -225,6 +225,17 @@ def test_hf_encoder_baseline_adapter(tmp_path):
     assert res["ndcg@1"] == 1.0
 
 
+def test_openai_encoder_offline_gate():
+    """OpenAIEncoder (reference encoder.py:39-104) exists with the exact
+    constructor surface and fails with a CLEAR import error offline."""
+    import pytest as _pytest
+
+    from contrastors_tpu.eval.encoder import OpenAIEncoder
+
+    with _pytest.raises(ImportError, match="openai"):
+        OpenAIEncoder(embedding_model="text-embedding-ada-002", batch_size=8)
+
+
 def test_nomic_export_round_trip(tmp_path):
     """Flagship rotary+swiglu trunk -> trust_remote_code package -> torch
     forward matches the flax forward (round-1 VERDICT Missing #1; reference
