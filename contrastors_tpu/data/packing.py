@@ -94,8 +94,28 @@ def pack_tokenized(
 
 
 def packing_efficiency(attention_mask: np.ndarray, row_len: int, max_segments: int) -> float:
-    """Real tokens per packed slot vs per padded slot (>1 = packing wins)."""
-    real = float(attention_mask.sum())
+    """Padded-token budget over packed-token budget (>1 = packing shrinks
+    the matmul work). NOTE this is geometry-only — (B*L)/(R*row_len); the
+    mask content cancels. The content-dependent question (does the packed
+    geometry TRUNCATE tokens?) is measured by packing_kept_fraction."""
     B, L = attention_mask.shape
     R = -(-B // max_segments)
-    return (real / (R * row_len)) / (real / (B * L))
+    return (B * L) / (R * row_len)
+
+
+def packing_kept_fraction(
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+    row_len: int,
+    max_segments: int,
+    pad_id: int = 0,
+) -> float:
+    """Fraction of real tokens that survive a dry pack at this geometry
+    (<1 means pack_tokenized would truncate sequences to fit rows)."""
+    real = float(attention_mask.sum())
+    if real == 0:
+        return 1.0
+    packed = pack_tokenized(
+        input_ids, attention_mask, row_len=row_len, max_segments=max_segments, pad_id=pad_id
+    )
+    return float((packed["segment_ids"] > 0).sum()) / real

@@ -15,6 +15,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def corpus_to_texts(corpus) -> List[str]:
+    """BEIR/MTEB corpus entries ({title?, text} dicts or raw strings) to
+    flat texts — shared by every encoder adapter so A/B comparisons use
+    identical document formatting."""
+    if corpus and isinstance(corpus[0], dict):
+        return [(d.get("title", "") + " " + d["text"]).strip() for d in corpus]
+    return list(corpus)
+
+
 class Encoder:
     def __init__(
         self,
@@ -100,13 +110,7 @@ class Encoder:
         return self.encode(queries, prefix=self.query_prefix)
 
     def encode_corpus(self, corpus, **kw) -> np.ndarray:
-        if corpus and isinstance(corpus[0], dict):
-            texts = [
-                (d.get("title", "") + " " + d["text"]).strip() for d in corpus
-            ]
-        else:
-            texts = list(corpus)
-        return self.encode(texts, prefix=self.document_prefix)
+        return self.encode(corpus_to_texts(corpus), prefix=self.document_prefix)
 
 
 class OpenAIEncoder:
@@ -163,11 +167,7 @@ class OpenAIEncoder:
         return self.encode(queries)
 
     def encode_corpus(self, corpus, **kw) -> np.ndarray:
-        if corpus and isinstance(corpus[0], dict):
-            texts = [(d.get("title", "") + " " + d["text"]).strip() for d in corpus]
-        else:
-            texts = list(corpus)
-        return self.encode(texts)
+        return self.encode(corpus_to_texts(corpus))
 
 
 class HFEncoder:
@@ -175,8 +175,7 @@ class HFEncoder:
     parity tables (reference eval/encoder.py:338-374 — AutoModel +
     mean pooling; CLIP text towers via get_text_features). Runs torch on
     CPU — it exists to benchmark external models against the TPU Encoder,
-    not to be fast. The reference's OpenAI_Encoder (encoder.py:39-104) is a
-    network API client and is intentionally out of scope offline."""
+    not to be fast."""
 
     def __init__(
         self,
@@ -229,8 +228,4 @@ class HFEncoder:
         return self.encode(queries, prefix=self.query_prefix)
 
     def encode_corpus(self, corpus, **kw) -> np.ndarray:
-        if corpus and isinstance(corpus[0], dict):
-            texts = [(d.get("title", "") + " " + d["text"]).strip() for d in corpus]
-        else:
-            texts = list(corpus)
-        return self.encode(texts, prefix=self.document_prefix)
+        return self.encode(corpus_to_texts(corpus), prefix=self.document_prefix)

@@ -31,8 +31,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from contrastors_tpu.eval.metrics import ndcg_at_k, recall_at_k
-
 _DATA_DIR: Optional[str] = None
 
 
@@ -109,8 +107,11 @@ def kmeans(x: np.ndarray, k: int, iters: int = 50, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     centers = x[rng.choice(len(x), size=k, replace=False)]
     assign = np.zeros(len(x), np.int64)
+    x_sq = (x**2).sum(-1, keepdims=True)  # [n, 1]
     for _ in range(iters):
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 via one [n, k] matmul —
+        # the [n, k, d] broadcast difference OOMs on modest corpora
+        d = x_sq - 2.0 * (x @ centers.T) + (centers**2).sum(-1)[None, :]
         new = d.argmin(1)
         if (new == assign).all():
             break
@@ -204,14 +205,24 @@ def _run_pair_classification(model, task_dir: str) -> Dict:
 
 def _run_reranking(model, task_dir: str) -> Dict:
     rows = _read_jsonl(os.path.join(task_dir, "samples.jsonl"))
-    aps = []
+    if not rows:
+        return {"map": 0.0, "main_score": 0.0}
+    # two batched encodes (all queries; all docs concatenated with offsets) —
+    # per-sample encode() calls each pad to the Encoder's fixed batch and
+    # round-trip the device once per sample
+    q_embs = _encode(model, [r["query"] for r in rows])
+    docs, spans, labels = [], [], []
     for r in rows:
-        docs = list(r["positive"]) + list(r["negative"])
-        q = _encode(model, [r["query"]])[0]
-        d = _encode(model, docs)
-        labels = np.array([1] * len(r["positive"]) + [0] * len(r["negative"]))
-        aps.append(average_precision(d @ q, labels))
-    m = float(np.mean(aps)) if aps else 0.0
+        start = len(docs)
+        docs.extend(list(r["positive"]) + list(r["negative"]))
+        spans.append((start, len(docs)))
+        labels.append(np.array([1] * len(r["positive"]) + [0] * len(r["negative"])))
+    d_embs = _encode(model, docs)
+    aps = [
+        average_precision(d_embs[a:b] @ q_embs[i], labels[i])
+        for i, (a, b) in enumerate(spans)
+    ]
+    m = float(np.mean(aps))
     return {"map": m, "main_score": m}
 
 

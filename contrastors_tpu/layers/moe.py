@@ -109,7 +109,17 @@ class MoEMLP(nn.Module):
             top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
         top_w = top_w * valid.astype(top_w.dtype)
 
-        if getattr(cfg, "moe_impl", "dropless") == "dropless":
+        impl = getattr(cfg, "moe_impl", "dropless")
+        if impl not in ("dropless", "capacity"):
+            # "auto" (or a typo) reaching the layer means some construction
+            # path skipped resolution — failing loudly beats silently
+            # running the token-dropping capacity dispatch on a
+            # dropless-trained checkpoint
+            raise ValueError(
+                f"moe_impl={impl!r} reached MoEMLP unresolved; expected "
+                "'dropless' or 'capacity' (trainers resolve 'auto' per mesh)"
+            )
+        if impl == "dropless":
             # megablocks-dMoE semantics: the N*k (token, expert) assignments
             # are laid out expert-sorted with block-aligned group starts and
             # fed to the Pallas grouped matmul (ops/grouped_matmul.py;

@@ -126,7 +126,12 @@ def load_biencoder(
             moe_normalize_expert_weights=model_args.moe_normalize_expert_weights,
             expert_choice_router=model_args.expert_choice_router,
             num_shared_experts=model_args.num_shared_experts,
-            moe_impl=model_args.moe_impl,
+            # "auto" is a trainer-level value (resolved per-mesh in
+            # BaseTrainer.__init__); model construction outside a trainer
+            # (encode/eval/export scripts) is single-host -> dropless
+            moe_impl=(
+                "dropless" if model_args.moe_impl == "auto" else model_args.moe_impl
+            ),
         )
     if model_args.pad_vocab_to_multiple_of:
         overrides["pad_vocab_size_multiple"] = model_args.pad_vocab_to_multiple_of

@@ -44,7 +44,12 @@ class BaseTrainer(ABC):
         # would all-gather every expert weight per device; see layers/moe.py
         # and test_expert_parallel.py's HLO assertions)
         ep = self.mesh.shape.get("expert", 1)
-        for margs_ in (config.model_args, config.text_model_args, config.tower_model_args):
+        for margs_ in (
+            config.model_args,
+            config.text_model_args,
+            config.vision_model_args,
+            config.tower_model_args,
+        ):
             if margs_ is not None and getattr(margs_, "moe_impl", None) == "auto":
                 margs_.moe_impl = "capacity" if ep > 1 else "dropless"
                 if getattr(margs_, "num_experts", 0):

@@ -113,39 +113,58 @@ class TextTextTrainer(BaseTrainer):
         if not getattr(dargs, "packed", False):
             return host_batch
         if getattr(dargs, "packed_auto", False) and not getattr(self, "_packed_decided", False):
-            # one-shot geometry decision on the first batch, before the train
-            # step is built (base.train defers make_train_step for this):
-            # packing wins only when removed padding outweighs segment
-            # bookkeeping — 7.5x at the 2048-token pretrain geometry, 0.68x
-            # at short docs (bench.py packed detail)
+            # one-shot decision on the first batch, before the train step is
+            # built (base.train defers make_train_step for this). Two parts:
+            #   gain — geometry-only token-budget ratio (packing wins only
+            #     when removed padding outweighs segment bookkeeping: 7.5x
+            #     at the 2048-token pretrain geometry, 0.68x at short docs);
+            #   kept — CONTENT-dependent dry pack of this batch: a geometry
+            #     too tight for the real lengths silently truncates tokens,
+            #     which is worse than training slow.
             self._packed_decided = True
             import numpy as np
 
-            from contrastors_tpu.data.packing import packing_efficiency
+            from contrastors_tpu.data.packing import (
+                packing_efficiency,
+                packing_kept_fraction,
+            )
 
-            gains, weights = [], []
+            gains, weights, kept_min = [], [], 1.0
             for col in ("query", "document"):
                 mask = host_batch.get(f"{col}_attention_mask")
                 if mask is None:
                     continue
+                mask = np.asarray(mask)
                 L, K = self._pack_geometry(col)
-                gains.append(packing_efficiency(np.asarray(mask), L, K))
-                weights.append(np.asarray(mask).size)
+                gains.append(packing_efficiency(mask, L, K))
+                weights.append(mask.size)
+                kept_min = min(
+                    kept_min,
+                    packing_kept_fraction(
+                        np.asarray(host_batch[f"{col}_input_ids"]), mask, L, K,
+                        pad_id=self.tokenizer.pad_token_id or 0,
+                    ),
+                )
             gain = float(np.average(gains, weights=weights)) if gains else 1.0
             if jax.process_count() > 1:
                 # per-rank batches differ; every process must reach the SAME
                 # decision or the compiled step shapes diverge (deadlock)
                 from contrastors_tpu.utils.dist import process_allmean
 
-                gain = float(process_allmean({"gain": gain})["gain"])
-            if gain < dargs.packed_auto_threshold:
+                agreed = process_allmean({"gain": gain, "kept": kept_min})
+                gain, kept_min = float(agreed["gain"]), float(agreed["kept"])
+            if gain < dargs.packed_auto_threshold or kept_min < 0.99:
                 dargs.packed = False
                 print(
-                    f"[packing] auto-disabled: predicted gain {gain:.2f}x < "
-                    f"{dargs.packed_auto_threshold:.2f}x threshold", flush=True,
+                    f"[packing] auto-disabled: predicted gain {gain:.2f}x "
+                    f"(threshold {dargs.packed_auto_threshold:.2f}x), dry-pack "
+                    f"kept {kept_min:.3f} of real tokens", flush=True,
                 )
                 return host_batch
-            print(f"[packing] auto-kept: predicted gain {gain:.2f}x", flush=True)
+            print(
+                f"[packing] auto-kept: predicted gain {gain:.2f}x, "
+                f"dry-pack kept {kept_min:.3f}", flush=True,
+            )
         from contrastors_tpu.data.packing import pack_tokenized
 
         out = dict(host_batch)
@@ -230,11 +249,13 @@ class TextTextTrainer(BaseTrainer):
             seq_len=self.config.data_args.document_max_length or 256,
             # SPMD corpus encode over the data axis (the reference re-encodes
             # the full corpus per rank through a non-sharded adapter,
-            # trainers/text_text.py:453-471); batch must cover the mesh
-            batch_size=max(
-                self.config.data_args.eval_batch_size or 64,
-                self.mesh.shape.get("data", 1),
-            ),
+            # trainers/text_text.py:453-471); the sharded device_put needs
+            # the batch to DIVIDE over the axis, so round up to a multiple
+            batch_size=-(
+                -(self.config.data_args.eval_batch_size or 64)
+                // self.mesh.shape.get("data", 1)
+            )
+            * self.mesh.shape.get("data", 1),
             mesh=self.mesh,
             query_prefix=(
                 margs.query_prefix.rstrip(": ") if margs.add_prefix and margs.query_prefix else None

@@ -128,3 +128,33 @@ def test_moe_impl_auto_resolution(tmp_path):
     tr_single = build(1, "single")
     assert tr_single.config.model_args.moe_impl == "dropless"
     assert tr_single.biencoder.config.moe_impl == "dropless"
+
+
+def test_moe_impl_unresolved_raises():
+    """'auto' (or a typo) reaching the layer unresolved fails loudly — a
+    dropless-trained checkpoint silently evaluated with the token-dropping
+    capacity dispatch is the failure this guards (code-review r3 #2)."""
+    import jax
+
+    cfg = _moe_cfg(moe_impl="auto")
+    model = NomicBertModel(config=cfg)
+    ids = jnp.ones((2, 8), jnp.int32)
+    with pytest.raises(ValueError, match="moe_impl"):
+        model.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids))
+
+
+def test_moe_impl_auto_resolves_outside_trainer(tmp_path):
+    """load_biencoder outside a trainer (encode/eval scripts) resolves
+    'auto' to dropless instead of leaking it into the layer."""
+    from test_trainer_e2e import make_checkpoint_dir
+    from contrastors_tpu.config import ModelArgs
+    from contrastors_tpu.models.auto import load_biencoder
+
+    ckpt = make_checkpoint_dir(tmp_path)
+    margs = ModelArgs(
+        model_type="encoder", model_name=ckpt, pooling="mean",
+        num_experts=4, moe_top_k=2, moe_every_n_layers=2, attn_impl="sdpa",
+    )
+    assert margs.moe_impl == "auto"
+    module, params, cfg = load_biencoder(margs)
+    assert cfg.moe_impl == "dropless"

@@ -375,6 +375,18 @@ def test_packed_auto_geometry(tmp_path):
     metrics2 = read_metrics(out2)
     assert all(np.isfinite(m["loss"]) for m in metrics2 if "loss" in m)
 
+    # case 3: geometry LOOKS like a win but the dry pack would truncate
+    # real tokens (rows too tight for the actual lengths) -> disabled
+    out3 = str(tmp_path / "auto_trunc")
+    cfg3 = base_config(ckpt, data, out3, num_epochs=1)
+    cfg3.data_args.batch_size = 32
+    cfg3.data_args.packed = True
+    cfg3.data_args.packed_auto = True
+    cfg3.data_args.packed_seq_len = 8  # gain = (32*16)/(8*8) = 8x, but rows
+    cfg3.data_args.packed_max_segments = 4  # can't hold 4 x ~8-token seqs
+    trainer3 = run_trainer(cfg3)
+    assert trainer3.config.data_args.packed is False
+
 
 def test_ema_decay_config(tmp_path):
     """ema_decay is a config knob (VERDICT r2 weak #7): decay=0 tracks the
