@@ -45,7 +45,9 @@ def iter_tar_samples(path: str, handler=log_and_continue) -> Iterator[Dict[str, 
             base, ext = os.path.splitext(name)
             ext = ext.lower()
             if current_key is not None and base != current_key:
-                if "image" in sample and "text" in sample:
+                if "image" in sample and ("text" in sample or "text_embedding" in sample):
+                    # precomputed-text shards carry .npy embeddings instead
+                    # of captions (reference image_text_loader.py:480)
                     yield sample
                 sample = {}
             current_key = base
@@ -68,7 +70,7 @@ def iter_tar_samples(path: str, handler=log_and_continue) -> Iterator[Dict[str, 
             except Exception as e:  # noqa: BLE001
                 if not handler(e):
                     raise
-        if "image" in sample and "text" in sample:
+        if "image" in sample and ("text" in sample or "text_embedding" in sample):
             yield sample
 
 
@@ -141,7 +143,17 @@ class ImageTextDataset:
         urls = list(self.urls)
         if self.is_train:
             rng.shuffle(urls)
-        return urls[self.rank :: self.world] or urls[:1]
+        mine = urls[self.rank :: self.world]
+        if not mine:
+            # fewer shards than processes: duplicating a shard across ranks
+            # would put identical samples in the global batch — duplicate
+            # positives labeled as negatives in the contrastive loss
+            raise ValueError(
+                f"{len(urls)} shard(s) for {self.world} processes — rank "
+                f"{self.rank} has none; use dataset_resampled=true (rank-"
+                f"folded infinite sampling) or provide >= world_size shards"
+            )
+        return mine
 
     def _samples(self) -> Iterator[Dict[str, Any]]:
         buf: List[Dict[str, Any]] = []

@@ -22,6 +22,31 @@ def norm_shard_key(url: str) -> str:
     return "/".join(parts[-4:]) if len(parts) >= 6 else "/".join(parts[-3:])
 
 
+def resolve_shard_key(url: str, keys) -> str:
+    """Find the index key for `url` tolerant of mount-depth differences:
+    norm_shard_key's segment count depends on the ABSOLUTE path depth, so
+    an index built at /a/b/c/shard.gz keys differently from the same bucket
+    read at /mnt/x/a/b/c/shard.gz. Try every trailing-suffix depth of the
+    url, then unique-basename match against deeper stored keys. Raises
+    KeyError (with guidance) when nothing — or more than one thing —
+    matches."""
+    path = re.sub(r"^[a-z0-9]+://", "", url)
+    parts = [p for p in path.split("/") if p]
+    for depth in range(min(len(parts), 6), 0, -1):
+        suffix = "/".join(parts[-depth:])
+        if suffix in keys:
+            return suffix
+    base = parts[-1]
+    base_matches = [k for k in keys if k.split("/")[-1] == base]
+    if len(base_matches) == 1:
+        return base_matches[0]
+    detail = f"{len(base_matches)} keys share basename {base!r}" if base_matches else "no key matches"
+    raise KeyError(
+        f"shard {url} not found in the bucket index ({detail}) — re-run "
+        "scripts/build_index.py on this bucket"
+    )
+
+
 def index_shard(path: str) -> Dict[str, List[int]]:
     offsets = {}
     pos = 0

@@ -48,6 +48,7 @@ def pack_tokenized(
     last_token_index = np.zeros(B, dtype=np.int32)
     used = np.zeros(R, dtype=np.int64)
     nseg = np.zeros(R, dtype=np.int64)
+    zero_seqs: List[int] = []
 
     order = np.argsort(-lengths, kind="stable")  # longest first
     for i in order:
@@ -75,14 +76,30 @@ def pack_tokenized(
             ids[r, start : start + n] = input_ids[i, :n]
             seg[r, start : start + n] = nseg[r] + 1
             pos[r, start : start + n] = np.arange(n, dtype=np.int32)
+            last_token_index[i] = r * row_len + start + n - 1
+        else:
+            # 0-token truncation only happens when the chosen row is FULL:
+            # start == row_len, so clamping inside this row would alias
+            # another sequence's last token and 'last' pooling would return
+            # an exact copy of that sample's embedding. Point at a genuine
+            # pad slot instead (resolved after packing, when free space is
+            # final) — the gathered embedding is then the pad hidden state.
+            zero_seqs.append(i)
         pair_index[i] = r * max_segments + int(nseg[r])
-        # clamp within the row: a 0-token sequence with start == row_len
-        # would otherwise index the NEXT row's first token (or run past the
-        # flat buffer on the last row); the gathered embedding is padding
-        # either way, but it must come from this row
-        last_token_index[i] = r * row_len + min(start + max(n, 1) - 1, row_len - 1)
         used[r] += n
         nseg[r] += 1
+
+    for i in zero_seqs:
+        free_rows = np.flatnonzero(used < row_len)
+        if free_rows.size:
+            r0 = int(free_rows[0])
+            last_token_index[i] = r0 * row_len + int(used[r0])  # a pad slot
+        else:
+            # every row full: no pad slot exists anywhere; point inside the
+            # sequence's own row — BiEncoder's packed 'last' path zeroes
+            # embeddings of zero-token segments, so the aliased gather is
+            # masked out downstream
+            last_token_index[i] = (pair_index[i] // max_segments) * row_len + row_len - 1
 
     return {
         "input_ids": ids,

@@ -89,6 +89,11 @@ class TokenizeCollator:
         col_max_length: Optional[Dict[str, int]] = None,
     ):
         self.tokenizer = tokenizer
+        if getattr(tokenizer, "padding_side", "right") != "right":
+            # the EOS pin, validate_eos_placement, and last-token indexing
+            # all compute positions as lengths-1 from the left — left-padded
+            # batches would flag every short sequence as malformed
+            tokenizer.padding_side = "right"
         self.add_eos = add_eos and tokenizer.eos_token is not None
         self.add_prefix = add_prefix
         self.col_max_length = col_max_length or dict(DEFAULT_MAX_TOKENS)
@@ -106,6 +111,32 @@ class TokenizeCollator:
             if col == "negative":
                 continue  # negatives are folded into "document" lists
             texts: List[str] = []
+            counts = {len(s[col]) for s in samples if isinstance(s[col], list)}
+            if len(counts) > 1:
+                # ragged docs-per-query misaligns clip_loss's i * mult labels
+                # (num_negatives=-1 with heterogenous records); cycle-pad
+                # every list to the batch max so the count stays uniform
+                m = max(counts)
+                if not getattr(self, "_warned_ragged", False):
+                    self._warned_ragged = True
+                    print(
+                        f"[data] ragged negatives per record (counts {sorted(counts)}); "
+                        f"cycle-padding to {m} per query — set num_negatives to a "
+                        f"fixed value to control this", flush=True,
+                    )
+                for s in samples:
+                    if isinstance(s[col], list) and len(s[col]) < m:
+                        v = s[col]  # [positive, neg...]; pad from negatives only
+                        if len(v) < 2:
+                            raise ValueError(
+                                "cannot pad a record with no negatives to the "
+                                f"batch's {m} documents per query"
+                            )
+                        extra = [1 + (j % (len(v) - 1)) for j in range(m - len(v))]
+                        s[col] = v + [v[j] for j in extra]
+                        if "kd_scores" in s:  # teacher scores track the docs
+                            sc = list(s["kd_scores"])
+                            s["kd_scores"] = sc + [sc[j] for j in extra]
             for s in samples:
                 v = s[col]
                 if isinstance(v, list):
@@ -155,9 +186,25 @@ def _extract_pair(record: Dict, objective: Dict, num_negatives: int, sample_nega
     for mapped, col in zip(MAPPED_NAMES[ctype], columns):
         if mapped == "negative":
             negs = record[col]
+            if not negs:
+                # zero negatives cannot be padded without faking a false
+                # negative == the positive; the reference dies here too
+                # (random.sample with k > population)
+                raise ValueError(
+                    f"record has no negatives for column {col!r} but the "
+                    f"objective requires them"
+                )
             idx = list(range(len(negs)))
             if len(negs) > num_negatives >= 0:
                 idx = rng.sample(idx, num_negatives) if sample_negatives else idx[:num_negatives]
+            elif 0 <= num_negatives and len(idx) < num_negatives:
+                # SHORT record: cycle-pad to the uniform count — clip_loss
+                # labels assume a constant docs-per-query (labels = i * mult,
+                # losses.py), so a ragged batch silently mislabels every
+                # query after the short record. Duplicated negatives are
+                # harmless (same logit twice); kd_scores stay aligned
+                # because neg_idx carries the duplicates.
+                idx = [idx[j % len(idx)] for j in range(num_negatives)]
             neg_idx = idx
             paired["document"] = [paired["document"]] + [negs[j] for j in idx]
         else:
@@ -263,16 +310,12 @@ class StreamingShardDataset:
                     "negative": ds.get("document_prefix", ds["query_prefix"]),
                 }
             for url in urls:
-                key = self._norm(url)
-                if key not in counts:
-                    # a silently-dropped shard shrinks the corpus with no
-                    # signal (e.g. an index built by an older key scheme);
-                    # shards too SMALL for the batch are skipped below, but
-                    # an absent key is an index mismatch — fail loudly
-                    raise KeyError(
-                        f"shard {url} (key {key!r}) is not in {bucket}/counts.json — "
-                        "re-run scripts/build_index.py on this bucket"
-                    )
+                # a silently-dropped shard shrinks the corpus with no
+                # signal; resolve_shard_key tolerates mount-depth drift and
+                # raises loudly on a genuine index mismatch
+                from contrastors_tpu.data.indexing import resolve_shard_key
+
+                key = resolve_shard_key(url, counts)
                 n = counts[key]
                 quota = (n // self.world_size // self.rank_batch_size) * self.rank_batch_size
                 if quota == 0:
@@ -314,10 +357,34 @@ class StreamingShardDataset:
         with open(path, "w") as f:
             json.dump(self._cursor, f, indent=1)
 
+    def note_consumed(self, snapshot: Dict[str, Any]):
+        """Record the state as of the last batch the TRAINER consumed.
+        Under PrefetchIterator the worker thread advances self._cursor (and
+        both RNGs) up to depth+1 batches ahead of training; checkpointing
+        those overshot values would silently skip the prefetched-but-
+        untrained samples on resume. Each yielded batch carries its own
+        post-batch snapshot (cursor + rng + sample_rng); the trainer hands
+        it back here and save_state prefers it."""
+        self._consumed_snapshot = snapshot
+
     def save_state(self, ckpt_dir: str):
         os.makedirs(ckpt_dir, exist_ok=True)
-        self._flush_cursor(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json"))
-        self._flush_cursor(self.cursor_path)  # debug mirror
+        snap = getattr(self, "_consumed_snapshot", None)
+        cur = self._cursor
+        if snap is not None:
+            self._cursor = snap["cursor"]
+        try:
+            self._flush_cursor(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json"))
+            self._flush_cursor(self.cursor_path)  # debug mirror
+        finally:
+            self._cursor = cur
+        # shard-choice + per-rank sampling RNG: without these a resumed run
+        # replays the from-scratch draw sequence over mid-consumed shards —
+        # valid but not reproducible vs the uninterrupted run
+        rng_state = snap["rng"] if snap is not None else self.rng.getstate()
+        samp_state = snap["sample_rng"] if snap is not None else self.sample_rng.getstate()
+        with open(os.path.join(ckpt_dir, f"rank_{self.rank}_rng.json"), "w") as f:
+            json.dump({"rng": rng_state, "sample_rng": samp_state}, f)
 
     def load_state(self, ckpt_dir: str):
         with open(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json")) as f:
@@ -326,6 +393,14 @@ class StreamingShardDataset:
         self.current_paths = [
             p for p in self.ds_paths if processed.get(p, 0) < self.max_per_shard[p]
         ]
+        rng_path = os.path.join(ckpt_dir, f"rank_{self.rank}_rng.json")
+        if os.path.exists(rng_path):  # absent in pre-round-3 checkpoints
+            with open(rng_path) as f:
+                st = json.load(f)
+            self.rng.setstate((st["rng"][0], tuple(st["rng"][1]), st["rng"][2]))
+            self.sample_rng.setstate(
+                (st["sample_rng"][0], tuple(st["sample_rng"][1]), st["sample_rng"][2])
+            )
 
     def __len__(self):
         return self.total_samples
@@ -437,6 +512,14 @@ class StreamingShardDataset:
                 self._write_cursor(cursor)
                 if cursor[url] >= self.max_per_shard[url]:
                     self.current_paths.remove(url)
+                    # shard exhausted: close its stream (thousands of shards
+                    # would otherwise accumulate open fds + decode caches)
+                    s = getattr(self, "_streams", {}).pop(url, None)
+                    if s is not None:
+                        try:
+                            s.close()
+                        except Exception:
+                            pass
 
                 meta = self.path2meta[url]
                 objective = self.path2objective[url]
@@ -453,13 +536,25 @@ class StreamingShardDataset:
                             neg_scores[j] for j in (neg_idx or [])
                         ]
                     pairs.append(p)
-                yield self.collator(
+                batch = self.collator(
                     pairs,
                     objective["type"],
                     dataset_name=meta["name"],
                     prefixes=meta["prefixes"],
                     query_only=meta["query_only"],
                 )
+                # post-batch cursor + RNG snapshot rides along so the
+                # consumer can checkpoint what it has actually trained on
+                # (note_consumed). RNG states must travel WITH the cursor:
+                # under prefetch the live rngs have already advanced through
+                # read-ahead batches, so saving them at save_state time would
+                # re-draw different shard choices / negatives on resume.
+                batch["cursor_snapshot"] = {
+                    "cursor": dict(cursor),
+                    "rng": self.rng.getstate(),
+                    "sample_rng": self.sample_rng.getstate(),
+                }
+                yield batch
             if not self.infinite:
                 return
             self.current_paths = list(self.ds_paths)

@@ -168,6 +168,15 @@ class BiEncoder(nn.Module):
                     raise ValueError("packed 'last' pooling needs last_token_index")
                 flat = hidden.reshape(-1, hidden.shape[-1])
                 embedding = flat[last_token_index]
+                # a sequence truncated to 0 tokens by an over-tight packing
+                # geometry owns no position — its gather would alias another
+                # sample's last token; zero it (normalize is VJP-safe at 0)
+                counts = (
+                    segment_ids[:, :, None]
+                    == jnp.arange(1, max_segments + 1)[None, None, :]
+                ).sum(axis=1).reshape(-1)  # [R*K] tokens per slot
+                sel = counts if pair_index is None else counts[pair_index]
+                embedding = embedding * (sel > 0).astype(embedding.dtype)[:, None]
             else:
                 raise ValueError("packed mode supports mean or last pooling only")
         elif self.pooling == "mean":

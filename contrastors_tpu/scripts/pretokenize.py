@@ -19,14 +19,30 @@ import json
 import numpy as np
 
 
+class TokenPacker:
+    """Concatenate token lists with separators and emit fixed windows. One
+    buffer for the WHOLE corpus: a per-call buffer would silently drop its
+    partial tail (up to max_length-1 tokens) at every tokenizer-batch
+    boundary and split documents at arbitrary batch edges."""
+
+    def __init__(self, max_length: int, sep_id: int):
+        self.max_length = max_length
+        self.sep_id = sep_id
+        self.buf: list = []
+
+    def add(self, token_lists):
+        for toks in token_lists:
+            self.buf.extend(toks)
+            self.buf.append(self.sep_id)
+            while len(self.buf) >= self.max_length:
+                yield self.buf[: self.max_length]
+                self.buf = self.buf[self.max_length :]
+
+
 def pack_tokens(token_lists, max_length: int, sep_id: int):
-    buf = []
-    for toks in token_lists:
-        buf.extend(toks)
-        buf.append(sep_id)
-        while len(buf) >= max_length:
-            yield buf[:max_length]
-            buf = buf[max_length:]
+    """One-shot convenience over TokenPacker (drops the final partial
+    window, as the corpus-level packing contract specifies)."""
+    yield from TokenPacker(max_length, sep_id).add(token_lists)
 
 
 def main():
@@ -60,16 +76,17 @@ def main():
                         yield line
 
     rows = []
+    packer = TokenPacker(args.max_length, sep_id)
     batch = []
     for text in texts():
         batch.append(text)
         if len(batch) == 1000:
             enc = tok(batch, add_special_tokens=False)["input_ids"]
-            rows.extend(pack_tokens(enc, args.max_length, sep_id))
+            rows.extend(packer.add(enc))
             batch = []
     if batch:
         enc = tok(batch, add_special_tokens=False)["input_ids"]
-        rows.extend(pack_tokens(enc, args.max_length, sep_id))
+        rows.extend(packer.add(enc))
 
     n_val = max(1, int(len(rows) * args.val_pct))
     dd = DatasetDict(

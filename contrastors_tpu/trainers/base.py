@@ -324,6 +324,12 @@ class BaseTrainer(ABC):
                     train_step = self.make_train_step()
                 meta = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
                 arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
+                if meta.get("cursor_snapshot") is not None and hasattr(
+                    self.dataloader, "note_consumed"
+                ):
+                    # checkpoint the cursor of the batch being TRAINED on,
+                    # not wherever the prefetch worker has read ahead to
+                    self.dataloader.note_consumed(meta["cursor_snapshot"])
                 batch = shard_batch(arrays, self.mesh)
 
                 self.rng, step_rng = jax.random.split(self.rng)

@@ -263,3 +263,111 @@ def test_kd_scores_align_with_sampled_negatives(tmp_path):
     # num_negatives=-1 keeps everything, scores included
     p, idx = _extract_pair(record, objective, num_negatives=-1, sample_negatives=False, rng=rng)
     assert len(p["document"]) == 7 and idx == list(range(6))
+
+
+def test_short_record_negatives_cycle_padded():
+    """A record with fewer negatives than num_negatives cycle-pads to the
+    uniform count — ragged docs-per-query misaligns clip_loss's i * mult
+    labels (round-3 review #1); zero negatives raises."""
+    import random as pyrandom
+
+    import pytest as _pytest
+
+    from contrastors_tpu.data.text import _extract_pair
+
+    objective = {"type": "triplet", "columns": ["query", "document", "negatives"]}
+    rng = pyrandom.Random(0)
+    record = {"query": "q", "document": "pos", "negatives": ["n0", "n1"]}
+    p, idx = _extract_pair(record, objective, num_negatives=5, sample_negatives=True, rng=rng)
+    assert len(p["document"]) == 6  # positive + exactly num_negatives
+    assert set(p["document"][1:]) == {"n0", "n1"}
+    assert len(idx) == 5  # kd_scores gather stays aligned with duplicates
+
+    with _pytest.raises(ValueError, match="no negatives"):
+        _extract_pair(
+            {"query": "q", "document": "pos", "negatives": []},
+            objective, num_negatives=5, sample_negatives=True, rng=rng,
+        )
+
+
+def test_collator_pads_ragged_document_lists(tmp_path):
+    """num_negatives=-1 over heterogeneous records: the collator cycle-pads
+    every document list (negatives only, never the positive) to the batch
+    max and keeps kd_scores aligned."""
+    from contrastors_tpu.data.text import TokenizeCollator
+
+    tok = make_tokenizer(tmp_path)
+    c = TokenizeCollator(tok, add_eos=False)
+    samples = [
+        {"query": "q0", "document": ["p0", "a", "b", "c"], "kd_scores": [9.0, 1.0, 2.0, 3.0]},
+        {"query": "q1", "document": ["p1", "d"], "kd_scores": [8.0, 4.0]},
+    ]
+    out = c(samples, "paired")
+    n_docs = out["document_input_ids"].shape[0]
+    assert n_docs == 8  # 2 queries x 4 docs each
+    # the padded sample's extra docs cycle over its own negatives, and the
+    # positive is never duplicated into the negative slots
+    assert samples[1]["document"] == ["p1", "d", "d", "d"]
+    assert samples[1]["kd_scores"] == [8.0, 4.0, 4.0, 4.0]
+    assert out["kd_scores"].shape == (2, 4)
+
+
+def test_left_padding_tokenizer_forced_right(tmp_path):
+    from contrastors_tpu.data.text import TokenizeCollator
+
+    tok = make_tokenizer(tmp_path)
+    tok.padding_side = "left"
+    TokenizeCollator(tok, add_eos=False)
+    assert tok.padding_side == "right"
+
+
+def test_resolve_shard_key_depth_tolerant(tmp_path):
+    """The same bucket keyed at a different mount depth still resolves
+    (round-3 review #6: the 5/6-segment cliff)."""
+    import pytest as _pytest
+
+    from contrastors_tpu.data.indexing import norm_shard_key, resolve_shard_key
+
+    # index built at depth 5 (3-segment keys); read at depth 6+
+    keys = {norm_shard_key("/a/b/c/d/shard-0.jsonl.gz"): 1}
+    assert resolve_shard_key("file:///x/a/b/c/d/shard-0.jsonl.gz", keys) in keys
+    assert resolve_shard_key("/mnt/y/x/c/d/shard-0.jsonl.gz", keys) in keys
+    with _pytest.raises(KeyError, match="build_index"):
+        resolve_shard_key("/a/b/c/d/other.jsonl.gz", keys)
+    # ambiguous basenames stay an error
+    two = {"c/d/s.gz": 1, "e/f/s.gz": 2}
+    with _pytest.raises(KeyError, match="2 keys"):
+        resolve_shard_key("/zz/q/s.gz", two)
+
+
+def test_prefetch_cursor_checkpoints_consumed_not_read_ahead(tmp_path):
+    """save_state under PrefetchIterator writes the cursor of the batch the
+    trainer consumed, not wherever the worker read ahead to (round-3 review
+    #3); resume then replays the prefetched-but-untrained batches, and the
+    shard-choice RNG is restored so the schedule is reproducible."""
+    spec = make_bucket(tmp_path, n_shards=2, rows_per_shard=32)
+    from contrastors_tpu.utils.prefetch import PrefetchIterator
+
+    def make_ds():
+        return StreamingShardDataset(
+            spec, global_batch_size=8, tokenizer=make_tokenizer(tmp_path), seed=3,
+        )
+
+    ds = make_ds()
+    it = PrefetchIterator(iter(ds), depth=3)
+    first = next(it)
+    ds.note_consumed(first["cursor_snapshot"])
+    import time as _t
+
+    _t.sleep(0.3)  # let the worker read ahead past the consumed point
+    ckpt = tmp_path / "ck"
+    ds.save_state(str(ckpt))
+    # uninterrupted continuation
+    expected = [next(it)["query_input_ids"] for _ in range(3)]
+
+    ds2 = make_ds()
+    ds2.load_state(str(ckpt))
+    it2 = iter(ds2)
+    got = [next(it2)["query_input_ids"] for _ in range(3)]
+    for a, b in zip(expected, got):
+        np.testing.assert_array_equal(a, b)

@@ -638,3 +638,51 @@ def test_overlay_tower_strict(tmp_path):
         _overlay_tower(params, "text", {"params": {"trunk": {"w": np.ones((3, 2))}}})
     with pytest.raises(ValueError, match="dropped"):
         _overlay_tower(params, "text", {"params": {"extra_block": {"w": np.ones((2, 2))}}})
+
+
+def test_iter_tar_samples_precomputed_npy(tmp_path):
+    """Shards carrying .npy text embeddings instead of captions must yield
+    (round-3 review #2: the caption guard made precomputed-text shards
+    yield nothing and the loader spin forever)."""
+    import io as _io
+    import tarfile as _tarfile
+
+    from contrastors_tpu.data.image_text import iter_tar_samples
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "pre.tar"
+    with _tarfile.open(path, "w") as tf:
+        for i in range(3):
+            img = rand_image(rng)
+            buf = _io.BytesIO()
+            img.save(buf, format="JPEG")
+            data = buf.getvalue()
+            info = _tarfile.TarInfo(f"{i:06d}.jpg")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+            emb = np.random.default_rng(i).standard_normal(8).astype(np.float32)
+            nbuf = _io.BytesIO()
+            np.save(nbuf, emb)
+            ndata = nbuf.getvalue()
+            info = _tarfile.TarInfo(f"{i:06d}.npy")
+            info.size = len(ndata)
+            tf.addfile(info, _io.BytesIO(ndata))
+    samples = list(iter_tar_samples(str(path)))
+    assert len(samples) == 3
+    assert all("text_embedding" in s and "image" in s for s in samples)
+
+
+def test_shard_split_fewer_shards_than_ranks_raises(tmp_path):
+    """Silently duplicating a shard across ranks puts identical samples in
+    the global batch (duplicate positives labeled negatives) — raise and
+    point at dataset_resampled instead (round-3 review #9)."""
+    from contrastors_tpu.data.image_text import ImageTextDataset
+    from test_data import make_tokenizer
+
+    pattern = make_tar_shards(tmp_path, n_shards=2, per_shard=4)
+    ds = ImageTextDataset(
+        pattern, global_batch_size=8, tokenizer=make_tokenizer(tmp_path),
+        image_size=32, process_index=3, process_count=4,
+    )
+    with pytest.raises(ValueError, match="resampled"):
+        ds._shard_order()

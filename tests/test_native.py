@@ -72,11 +72,16 @@ def test_streaming_dataset_uses_native(tmp_path, native):
         spec, global_batch_size=8, tokenizer=tok, seed=0,
         process_index=0, process_count=1, state_dir=str(tmp_path / "state"),
     )
-    batches = list(ds)
-    assert len(batches) == 8
     from contrastors_tpu.native import NativeGzipStream
 
+    it = iter(ds)
+    batches = [next(it)]
+    # exhausted shards close their streams, so check while mid-shard
     assert any(isinstance(s, NativeGzipStream) for s in ds._streams.values())
+    batches += list(it)
+    assert len(batches) == 8
+    # ... and every stream is closed once the corpus is fully consumed
+    assert not ds._streams
 
 
 def test_native_corrupt_gzip_surfaces_error(tmp_path):

@@ -197,3 +197,70 @@ def test_packed_decoder_last_pooling_matches_padded():
         max_segments=3,
     )["embedding"]
     np.testing.assert_allclose(np.asarray(out), np.asarray(padded), atol=3e-5, rtol=1e-4)
+
+
+def test_zero_token_truncation_points_at_pad_slot():
+    """A sequence truncated to 0 tokens must NOT alias another sample's
+    last token under 'last' pooling (round-3 review #4): its
+    last_token_index lands on a genuine pad slot."""
+    from contrastors_tpu.data.packing import pack_tokenized
+
+    # rows 0/1 byte-full with free slots, row 2 slot-full with pad bytes:
+    # the trailing 1-token sequence lands 0-token in a full row while a
+    # genuine pad slot exists in row 2
+    ids = np.zeros((5, 8), np.int32)
+    mask = np.zeros((5, 8), np.int32)
+    lens = [8, 8, 3, 3, 1]
+    for i, n in enumerate(lens):
+        ids[i, :n] = np.arange(1, n + 1) + 10 * i
+        mask[i, :n] = 1
+    packed = pack_tokenized(ids, mask, row_len=8, max_segments=2)
+    flat_seg = packed["segment_ids"].reshape(-1)
+    zero_seqs = []
+    for i in range(5):
+        seg = packed["pair_index"][i] % 2 + 1
+        row = packed["pair_index"][i] // 2
+        if int((packed["segment_ids"][row] == seg).sum()) == 0:
+            zero_seqs.append(i)
+            lti = int(packed["last_token_index"][i])
+            assert flat_seg[lti] == 0, "0-token sequence must gather a pad slot"
+    assert zero_seqs, "geometry should have produced a 0-token truncation"
+
+    # model-level guarantee covers even the no-pad-slot-anywhere case:
+    # packed 'last' pooling zeroes the embedding of a 0-token segment
+    from contrastors_tpu.models.model_config import TrunkConfig
+
+    cfg = TrunkConfig(
+        vocab_size=256, n_positions=0, n_embd=32, n_layer=1, n_head=2, n_inner=64,
+        activation_function="gelu", rotary_emb_fraction=0.25, causal=True,
+        pad_token_id=0, attn_impl="sdpa",
+    )
+    model = BiEncoder(config=cfg, trunk_type="decoder", pooling="last", dtype=jnp.float32)
+    ids2 = np.ones((4, 4), np.int32)
+    mask2 = np.ones((4, 4), np.int32)  # 16 tokens into 2 rows x 4: rows ALL full
+    p2 = pack_tokenized(ids2, mask2, row_len=4, max_segments=2)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        input_ids=jnp.asarray(p2["input_ids"]),
+        segment_ids=jnp.asarray(p2["segment_ids"]),
+        position_ids=jnp.asarray(p2["position_ids"]),
+        pair_index=jnp.asarray(p2["pair_index"]),
+        last_token_index=jnp.asarray(p2["last_token_index"]),
+        max_segments=2,
+    )
+    out = model.apply(
+        params,
+        input_ids=jnp.asarray(p2["input_ids"]),
+        segment_ids=jnp.asarray(p2["segment_ids"]),
+        position_ids=jnp.asarray(p2["position_ids"]),
+        pair_index=jnp.asarray(p2["pair_index"]),
+        last_token_index=jnp.asarray(p2["last_token_index"]),
+        max_segments=2,
+        normalize=False,
+    )["embedding"]
+    flat_seg2 = p2["segment_ids"].reshape(-1)
+    for i in range(4):
+        seg = p2["pair_index"][i] % 2 + 1
+        row = p2["pair_index"][i] // 2
+        if int((p2["segment_ids"][row] == seg).sum()) == 0:
+            np.testing.assert_array_equal(np.asarray(out[i]), 0.0)

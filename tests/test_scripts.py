@@ -55,3 +55,20 @@ def test_tokenizer_compare(tmp_path):
     out = compare(tok, tok, ["word1 word2", "word3"])
     assert out["identical_tokenizations"] == 1.0
     assert out["vocab_jaccard"] == 1.0
+
+
+def test_token_packer_no_tail_loss_across_batches():
+    """One corpus-level buffer: windows must be identical whether documents
+    arrive in one call or split across tokenizer batches (round-3 review
+    #7: a per-call buffer dropped up to max_length-1 tokens per batch)."""
+    from contrastors_tpu.scripts.pretokenize import TokenPacker
+
+    docs = [[i, i + 1, i + 2] for i in range(0, 40, 3)]
+    one_shot = list(pack_tokens(docs, max_length=8, sep_id=0))
+
+    p = TokenPacker(max_length=8, sep_id=0)
+    split = []
+    for start in range(0, len(docs), 2):  # simulate 2-doc tokenizer batches
+        split.extend(p.add(docs[start : start + 2]))
+    assert split == one_shot
+    assert len(split) >= 6
