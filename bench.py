@@ -162,6 +162,8 @@ def main():
     parser.add_argument("--direct_q", type=int, default=-1, help="-1 = all query chunks")
     parser.add_argument("--direct_d", type=int, default=0)
     parser.add_argument("--skip_mlm", action="store_true")
+    parser.add_argument("--skip_infer", action="store_true")
+    parser.add_argument("--infer_batch", type=int, default=256, help="texts/chip, inference encode")
     parser.add_argument("--skip_vision", action="store_true")
     parser.add_argument("--skip_e2e", action="store_true")
     parser.add_argument("--vision_chunk", type=int, default=32)
@@ -317,6 +319,36 @@ def main():
             "tokens_kept_frac": round(kept, 4),
             "doc_rows": int(packed["input_ids"].shape[0]),
             "row_len": Ld,
+        }
+
+    # -- secondary: inference encode throughput (the serving path —
+    # scripts/encode.py / eval/encoder.py run this exact forward: BiEncoder
+    # trunk + mean pooling + L2 norm, no grads) at the document geometry.
+    infer_detail = None
+    if not args.skip_infer:
+        Bi = args.infer_batch * n_chips
+        i_ids = jnp.asarray(rng.integers(5, 30000, size=(Bi, d_len)), jnp.int32)
+        i_mask = jnp.ones_like(i_ids)
+
+        @jax.jit
+        def infer(p, ids, mask):
+            return model.apply(p, input_ids=ids, attention_mask=mask)["embedding"]
+
+        emb = infer(params["model"], i_ids, i_mask)
+        _ = float(emb[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _ = float(infer(params["model"], i_ids, i_mask)[0, 0])
+        dt_i = (time.perf_counter() - t0) / iters
+        texts_per_sec_chip = Bi / dt_i / n_chips
+        infer_detail = {
+            "infer_texts_per_sec_chip": round(texts_per_sec_chip, 1),
+            "infer_batch_per_chip": args.infer_batch,
+            "infer_seq_len": d_len,
+            # forward-only basis: 2*P*T per text
+            "infer_mfu_2pt": round(
+                texts_per_sec_chip * 2 * n_params * d_len / 1e12 / peak_tflops, 3
+            ),
         }
 
     # -- secondary: MLM pretrain step at seq 2048 (the nomic-bert-2048
@@ -514,6 +546,7 @@ def main():
                     "mfu_hw_8pt": round(mfu_hw, 3),
                     "mfu_model_6pt": round(mfu_model, 3),
                     **({"packed": packed_detail} if packed_detail else {}),
+                    **({"infer": infer_detail} if infer_detail else {}),
                     **({"mlm": mlm_detail} if mlm_detail else {}),
                     **({"vision": vision_detail} if vision_detail else {}),
                     **({"e2e": e2e_detail} if e2e_detail else {}),

