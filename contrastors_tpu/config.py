@@ -47,6 +47,9 @@ class TrainArgs(_Base):
     log_grads_every: int = 100
     log_lr_every: int = 10
     save_every: Optional[int] = None
+    # orbax async saves: disk write overlaps training (single-process only;
+    # multihost always uses the sync path). See trainers/base.py.
+    async_checkpointing: bool = True
     eval_steps: Optional[int] = None
     eval_strategy: Optional[str] = None
     output_dir: Optional[str] = None

@@ -71,6 +71,63 @@ def rotary_cos_sin(
     return jnp.asarray(np.cos(freqs)), jnp.asarray(np.sin(freqs))
 
 
+def _rot_matrix(dim: int, rot_dim: int, interleaved: bool) -> np.ndarray:
+    """Constant [dim, dim] matrix R with x @ R == the rotate-half permutation
+    on the first rot_dim features (zero rows for pass-through dims — their
+    sin table entries are 0 so the contribution vanishes). Entries are ±1
+    one-hots: the bf16 MXU matmul is an exact signed copy."""
+    R = np.zeros((dim, dim), np.float32)
+    if interleaved:
+        idx = np.arange(0, rot_dim, 2)
+        R[idx + 1, idx] = -1.0  # (x0, x1) -> (-x1, x0)
+        R[idx, idx + 1] = 1.0
+    else:
+        half = rot_dim // 2
+        i = np.arange(half)
+        R[i + half, i] = -1.0  # (x1, x2) -> (-x2, x1)
+        R[i, i + half] = 1.0
+    return R
+
+
+def _expand_tables(cos, sin, seqlen, dim, interleaved):
+    """[S, rot/2] tables -> [S, dim] fp32, laid out per the convention
+    (repeat-interleave for GPT-J pairs, duplicate-halves for NeoX), padded
+    with identity rows (cos=1, sin=0) over any pass-through tail."""
+    cos = cos[:seqlen].astype(jnp.float32)
+    sin = sin[:seqlen].astype(jnp.float32)
+    if interleaved:
+        cos_d = jnp.repeat(cos, 2, axis=-1)
+        sin_d = jnp.repeat(sin, 2, axis=-1)
+    else:
+        cos_d = jnp.concatenate([cos, cos], axis=-1)
+        sin_d = jnp.concatenate([sin, sin], axis=-1)
+    pad = dim - cos_d.shape[-1]
+    if pad:
+        cos_d = jnp.pad(cos_d, ((0, 0), (0, pad)), constant_values=1.0)
+        sin_d = jnp.pad(sin_d, ((0, 0), (0, pad)), constant_values=0.0)
+    return cos_d, sin_d
+
+
+def _apply_rotary_mxu(x, cos, sin, interleaved):
+    """MXU formulation of apply_rotary (the ViT-rope trick generalized —
+    see apply_rope_cat_prefixed): the rotate-half permutation rides the MXU
+    as a matmul against a constant signed one-hot matrix, and the
+    elementwise combine runs on the flattened [B, S, H*d] layout with
+    head-tiled tables (head_dim 64 is half a TPU lane width — the 4-D
+    broadcast wastes every other lane). Bit-exact vs the sliced form:
+    the matmul is a signed copy and IEEE a*c - b*s == a*c + (-b)*s."""
+    B, S, H, Dh = x.shape
+    rot_dim = cos.shape[-1] * 2
+    cos_d, sin_d = _expand_tables(cos, sin, S, Dh, interleaved)
+    cos_w = jnp.tile(cos_d, (1, H))  # [S, H*d]
+    sin_w = jnp.tile(sin_d, (1, H))
+    R = jnp.asarray(_rot_matrix(Dh, rot_dim, interleaved), x.dtype)
+    rot = (x @ R).reshape(B, S, H * Dh)
+    xf = x.reshape(B, S, H * Dh)
+    out = xf.astype(jnp.float32) * cos_w + rot.astype(jnp.float32) * sin_w
+    return out.astype(x.dtype).reshape(B, S, H, Dh)
+
+
 def apply_rotary(
     x: jnp.ndarray,
     cos: jnp.ndarray,
@@ -85,15 +142,13 @@ def apply_rotary(
     (used for packed sequences where positions restart at segment starts).
     """
     rot_dim = cos.shape[-1] * 2
-    if position_ids is not None:
-        cos = cos[position_ids]  # [b, s, rot/2]
-        sin = sin[position_ids]
-        cos = cos[:, :, None, :]
-        sin = sin[:, :, None, :]
-    else:
-        seqlen = x.shape[1]
-        cos = cos[None, :seqlen, None, :]
-        sin = sin[None, :seqlen, None, :]
+    if position_ids is None:
+        # static positions: the MXU fast path (identical numerics)
+        return _apply_rotary_mxu(x, cos, sin, interleaved)
+    cos = cos[position_ids]  # [b, s, rot/2]
+    sin = sin[position_ids]
+    cos = cos[:, :, None, :]
+    sin = sin[:, :, None, :]
 
     x_rot = x[..., :rot_dim].astype(jnp.float32)
     x_pass = x[..., rot_dim:]

@@ -25,6 +25,30 @@ from contrastors_tpu.utils.optim import make_optimizer, make_schedule
 
 DTYPES = {"bf16": jnp.bfloat16, "fp32": jnp.float32, "float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
+# Process-wide async checkpointer (lazy). An async save copies device
+# arrays to host synchronously — so the train step may donate the param
+# buffers immediately after save_state returns — then serializes and writes
+# to disk on a background thread, overlapping subsequent train steps
+# (the reference's DeepSpeed save, base.py:275-344, blocks training for the
+# whole write). Shared across trainer instances so a later load can always
+# wait on an in-flight save.
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    import orbax.checkpoint as ocp
+
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_pending_saves():
+    """Block until any in-flight async checkpoint write is durable."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
 
 class BaseTrainer(ABC):
     def __init__(self, config: Config, dtype: str = "bf16"):
@@ -250,8 +274,17 @@ class BaseTrainer(ABC):
         state = {"params": self.params, "opt_state": self.opt_state, "rng": self.rng}
         if self.ema_params is not None:
             state["ema_params"] = self.ema_params
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(os.path.join(path, "state"), state, force=True)
+        # async on a single process; multihost keeps the sync path (async
+        # commit coordination needs a jax.distributed barrier on every host)
+        if self.config.train_args.async_checkpointing and jax.process_count() == 1:
+            ckptr = _async_checkpointer()
+            ckptr.wait_until_finished()  # at most one save in flight
+            ckptr.save(
+                os.path.join(path, "state"), args=ocp.args.StandardSave(state), force=True
+            )
+        else:
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(os.path.join(path, "state"), state, force=True)
         if hasattr(self.dataloader, "save_state"):
             self.dataloader.save_state(path)
         if self.process_index == 0:
@@ -265,6 +298,7 @@ class BaseTrainer(ABC):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
+        wait_pending_saves()  # a just-written checkpoint may still be in flight
         with ocp.StandardCheckpointer() as ckptr:
             target = {"params": self.params, "opt_state": self.opt_state, "rng": self.rng}
             if self.ema_params is not None:
@@ -407,5 +441,6 @@ class BaseTrainer(ABC):
             print(f"[trainer] profile written to {profile_dir}")
         if ta.output_dir:
             self.save_state(ta.output_dir, self.step)
+        wait_pending_saves()  # the final checkpoint must be durable at exit
         self.tracker.finish()
         return self.step

@@ -110,3 +110,25 @@ def test_interleaved_rotary_pairs():
             x0, x1 = x[0, t, 0, 2 * p], x[0, t, 0, 2 * p + 1]
             np.testing.assert_allclose(out[0, t, 0, 2 * p], x0 * c[t, p] - x1 * s[t, p], atol=1e-6)
             np.testing.assert_allclose(out[0, t, 0, 2 * p + 1], x1 * c[t, p] + x0 * s[t, p], atol=1e-6)
+
+
+def test_apply_rotary_mxu_matches_gather_path():
+    """apply_rotary's MXU fast path (position_ids=None: signed-permutation
+    matmul + flat head-tiled tables) must be bit-exact against the sliced
+    gather path (position_ids=arange selects the identical table rows) for
+    both pair conventions, partial rotary, and both dtypes."""
+    rng = np.random.default_rng(3)
+    B, S, H, D = 2, 24, 3, 64
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    for rot_dim in (D, D // 2):
+        cos, sin = rotary_cos_sin(S + 8, rot_dim, base=1000.0)
+        for interleaved in (False, True):
+            for dtype in (jnp.float32, jnp.bfloat16):
+                x = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype)
+                fast = apply_rotary(x, cos, sin, interleaved)
+                ref = apply_rotary(x, cos, sin, interleaved, position_ids=pos)
+                np.testing.assert_array_equal(
+                    np.asarray(fast, np.float32),
+                    np.asarray(ref, np.float32),
+                    err_msg=f"rot_dim={rot_dim} interleaved={interleaved} {dtype}",
+                )

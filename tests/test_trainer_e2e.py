@@ -435,3 +435,45 @@ def test_packed_grad_cache_trainer(tmp_path):
     losses = [m["loss"] for m in metrics if "loss" in m]
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < max(losses[0], 0.05), f"loss did not converge: {losses}"
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """Async orbax saves (the default): save_state may return with the disk
+    write still in flight; load_state must wait for it and restore
+    params/rng bit-exactly. The sync fallback (async_checkpointing=False)
+    writes an equivalent checkpoint."""
+    import jax
+
+    ckpt = make_checkpoint_dir(tmp_path)
+    data = make_pairs_file(tmp_path, n=32)
+    out = str(tmp_path / "run_async")
+    t = TRAINER_REGISTRY["encoder"](base_config(ckpt, data, out, num_epochs=1), "fp32")
+    assert t.config.train_args.async_checkpointing  # default on
+    t.save_state(out, step=1)  # async: write may still be in flight here
+
+    cfg2 = base_config(
+        ckpt, data, str(tmp_path / "run_async2"), num_epochs=1,
+        checkpoint=os.path.join(out, "step_1"),
+    )
+    t2 = TRAINER_REGISTRY["encoder"](cfg2, "fp32")  # load_state waits
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t.params), jax.tree_util.tree_leaves(t2.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(t.rng), np.asarray(t2.rng))
+
+    out_sync = str(tmp_path / "run_sync")
+    cfg3 = base_config(ckpt, data, out_sync, num_epochs=1)
+    cfg3.train_args.async_checkpointing = False
+    t3 = TRAINER_REGISTRY["encoder"](cfg3, "fp32")
+    t3.params = t.params  # same weights through the sync path
+    t3.save_state(out_sync, step=1)
+    cfg4 = base_config(
+        ckpt, data, str(tmp_path / "run_sync2"), num_epochs=1,
+        checkpoint=os.path.join(out_sync, "step_1"),
+    )
+    t4 = TRAINER_REGISTRY["encoder"](cfg4, "fp32")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(t.params), jax.tree_util.tree_leaves(t4.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
