@@ -141,34 +141,21 @@ def apply_rotary(
     position_ids: optional [batch, seq] gather indices into the tables
     (used for packed sequences where positions restart at segment starts).
     """
-    rot_dim = cos.shape[-1] * 2
     if position_ids is None:
         # static positions: the MXU fast path (identical numerics)
         return _apply_rotary_mxu(x, cos, sin, interleaved)
-    cos = cos[position_ids]  # [b, s, rot/2]
-    sin = sin[position_ids]
-    cos = cos[:, :, None, :]
-    sin = sin[:, :, None, :]
-
-    x_rot = x[..., :rot_dim].astype(jnp.float32)
-    x_pass = x[..., rot_dim:]
-
-    if interleaved:
-        x1 = x_rot[..., ::2]
-        x2 = x_rot[..., 1::2]
-        o1 = x1 * cos - x2 * sin
-        o2 = x2 * cos + x1 * sin
-        rotated = jnp.stack([o1, o2], axis=-1).reshape(x_rot.shape)
-    else:
-        half = rot_dim // 2
-        x1 = x_rot[..., :half]
-        x2 = x_rot[..., half:]
-        rotated = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
-
-    rotated = rotated.astype(x.dtype)
-    if x_pass.shape[-1] == 0:
-        return rotated
-    return jnp.concatenate([rotated, x_pass], axis=-1)
+    # gathered positions (packed sequences): same signed-permutation matmul
+    # for the rotate-half; the per-(batch, seq) tables are expanded to the
+    # full head_dim once and gathered as [B, S, d] rows (identity rows over
+    # any pass-through tail keep x_pass exact), then broadcast over heads.
+    Dh = x.shape[-1]
+    rot_dim = cos.shape[-1] * 2
+    cos_d, sin_d = _expand_tables(cos, sin, cos.shape[0], Dh, interleaved)
+    cos_b = cos_d[position_ids][:, :, None, :]  # [B, S, 1, d]
+    sin_b = sin_d[position_ids][:, :, None, :]
+    R = jnp.asarray(_rot_matrix(Dh, rot_dim, interleaved), x.dtype)
+    out = x.astype(jnp.float32) * cos_b + (x @ R).astype(jnp.float32) * sin_b
+    return out.astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -112,23 +112,52 @@ def test_interleaved_rotary_pairs():
             np.testing.assert_allclose(out[0, t, 0, 2 * p + 1], x1 * c[t, p] + x0 * s[t, p], atol=1e-6)
 
 
-def test_apply_rotary_mxu_matches_gather_path():
-    """apply_rotary's MXU fast path (position_ids=None: signed-permutation
-    matmul + flat head-tiled tables) must be bit-exact against the sliced
-    gather path (position_ids=arange selects the identical table rows) for
-    both pair conventions, partial rotary, and both dtypes."""
+def _naive_apply_rotary(x, cos, sin, interleaved, position_ids=None):
+    """Reference slicing formulation (flash-attn convention) for the MXU
+    paths to be checked against: rotate the first 2*cos.shape[-1] features,
+    pass the tail through untouched."""
+    rot_dim = cos.shape[-1] * 2
+    if position_ids is not None:
+        cos = cos[position_ids][:, :, None, :]
+        sin = sin[position_ids][:, :, None, :]
+    else:
+        cos = cos[None, : x.shape[1], None, :]
+        sin = sin[None, : x.shape[1], None, :]
+    x_rot = x[..., :rot_dim].astype(jnp.float32)
+    x_pass = x[..., rot_dim:]
+    if interleaved:
+        x1, x2 = x_rot[..., ::2], x_rot[..., 1::2]
+        rotated = jnp.stack([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1).reshape(
+            x_rot.shape
+        )
+    else:
+        half = rot_dim // 2
+        x1, x2 = x_rot[..., :half], x_rot[..., half:]
+        rotated = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    rotated = rotated.astype(x.dtype)
+    return rotated if x_pass.shape[-1] == 0 else jnp.concatenate([rotated, x_pass], axis=-1)
+
+
+def test_apply_rotary_mxu_matches_naive():
+    """Both apply_rotary paths (static positions: flat head-tiled tables;
+    position_ids gather: per-row expanded tables) use the signed-permutation
+    MXU matmul and must be bit-exact against the naive slicing formulation
+    for both pair conventions, partial rotary, both dtypes, and
+    segment-restarting position ids."""
     rng = np.random.default_rng(3)
     B, S, H, D = 2, 24, 3, 64
-    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    pos_arange = jnp.broadcast_to(jnp.arange(S), (B, S))
+    pos_packed = jnp.asarray(rng.integers(0, S + 8, size=(B, S)), jnp.int32)
     for rot_dim in (D, D // 2):
         cos, sin = rotary_cos_sin(S + 8, rot_dim, base=1000.0)
         for interleaved in (False, True):
             for dtype in (jnp.float32, jnp.bfloat16):
                 x = jnp.asarray(rng.normal(size=(B, S, H, D)), dtype)
-                fast = apply_rotary(x, cos, sin, interleaved)
-                ref = apply_rotary(x, cos, sin, interleaved, position_ids=pos)
-                np.testing.assert_array_equal(
-                    np.asarray(fast, np.float32),
-                    np.asarray(ref, np.float32),
-                    err_msg=f"rot_dim={rot_dim} interleaved={interleaved} {dtype}",
-                )
+                for pos in (None, pos_arange, pos_packed):
+                    got = apply_rotary(x, cos, sin, interleaved, position_ids=pos)
+                    want = _naive_apply_rotary(x, cos, sin, interleaved, position_ids=pos)
+                    np.testing.assert_array_equal(
+                        np.asarray(got, np.float32),
+                        np.asarray(want, np.float32),
+                        err_msg=f"rot_dim={rot_dim} il={interleaved} {dtype} pos={pos is not None}",
+                    )
