@@ -381,17 +381,23 @@ def main():
     )
     tokenizer = AutoTokenizer.from_pretrained(args.text_model)
 
+    # params ride as jit ARGUMENTS — closed-over weights would be baked
+    # into the executable as XLA constants (compile-memory blowup at
+    # ViT-B scale)
     @jax.jit
-    def enc_img(px):
-        return v_mod.apply(v_params, pixel_values=px)["embedding"]
+    def _enc_img(params, px):
+        return v_mod.apply(params, pixel_values=px)["embedding"]
 
     @jax.jit
-    def enc_txt(ids, mask):
-        return t_mod.apply(t_params, input_ids=ids, attention_mask=mask)["embedding"]
+    def _enc_txt(params, ids, mask):
+        return t_mod.apply(params, input_ids=ids, attention_mask=mask)["embedding"]
+
+    def enc_img(px):
+        return _enc_img(v_params, px)
 
     def encode_text(texts):
         enc = tokenizer(texts, padding="max_length", truncation=True, max_length=77, return_tensors="np")
-        return np.asarray(enc_txt(jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])))
+        return np.asarray(_enc_txt(t_params, jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])))
 
     def encode_image(px):
         return np.asarray(enc_img(jnp.asarray(px)))

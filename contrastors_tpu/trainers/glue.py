@@ -198,15 +198,21 @@ class GlueTrainer(BaseTrainer):
             return {}
         batch = self.config.data_args.eval_batch_size or self.config.data_args.batch_size
 
-        @jax.jit
-        def logits_fn(params, b):
-            return self.model.apply(
-                params,
-                b["input_ids"],
-                attention_mask=b["attention_mask"],
-                token_type_ids=b["token_type_ids"],
-                deterministic=True,
-            )["logits"]
+        if not hasattr(self, "_eval_logits_fn"):
+            # compile once per trainer — a fresh jit per eval_loop call
+            # would retrace at every eval cadence
+            @jax.jit
+            def logits_fn(params, b):
+                return self.model.apply(
+                    params,
+                    b["input_ids"],
+                    attention_mask=b["attention_mask"],
+                    token_type_ids=b["token_type_ids"],
+                    deterministic=True,
+                )["logits"]
+
+            self._eval_logits_fn = logits_fn
+        logits_fn = self._eval_logits_fn
 
         def eval_split(split):
             """Every example exactly once: the trailing partial batch is

@@ -299,29 +299,45 @@ class ImageTextTrainer(BaseTrainer):
         )
         from contrastors_tpu.data.constants import IMAGENET_CLASSNAMES
 
-        @jax.jit
-        def enc_text(ids, mask):
-            return self.dual.apply(
-                self.params, method=self.dual.encode_text, input_ids=ids, attention_mask=mask
-            )
-
-        @jax.jit
-        def enc_img(px):
-            return self.dual.apply(self.params, method=self.dual.encode_image, pixel_values=px)
+        enc_text, enc_img = self._eval_encoders()
 
         def encode_text(texts):
             enc = self.tokenizer(
                 texts, padding="max_length", truncation=True,
                 max_length=self.config.text_model_args.seq_len or 77, return_tensors="np",
             )
-            return np.asarray(enc_text(jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"])))
+            return np.asarray(
+                enc_text(self.params, jnp.asarray(enc["input_ids"]), jnp.asarray(enc["attention_mask"]))
+            )
 
         weights = zeroshot_classifier_weights(encode_text, IMAGENET_CLASSNAMES)
         batches = get_imagenet(dargs.imagenet_val_path, batch_size=dargs.eval_batch_size)
         metrics.update(
-            evaluate_imagenet(lambda px: np.asarray(enc_img(jnp.asarray(px))), weights, batches)
+            evaluate_imagenet(
+                lambda px: np.asarray(enc_img(self.params, jnp.asarray(px))), weights, batches
+            )
         )
         return metrics
+
+    def _eval_encoders(self):
+        """Jitted tower encoders taking params as an ARGUMENT — a closure
+        over self.params would bake the weights in as XLA constants
+        (compile-memory blowup at real scale) and recompile on every eval
+        call; these compile once per trainer."""
+        if not hasattr(self, "_eval_enc"):
+
+            @jax.jit
+            def enc_text(params, ids, mask):
+                return self.dual.apply(
+                    params, method=self.dual.encode_text, input_ids=ids, attention_mask=mask
+                )
+
+            @jax.jit
+            def enc_img(params, px):
+                return self.dual.apply(params, method=self.dual.encode_image, pixel_values=px)
+
+            self._eval_enc = (enc_text, enc_img)
+        return self._eval_enc
 
     def _flickr_eval(self):
         """Flickr-style paired retrieval recall (reference
@@ -341,19 +357,10 @@ class ImageTextTrainer(BaseTrainer):
             shuffle_buffer=0,
         )
 
-        @jax.jit
-        def enc_img(px):
-            return self.dual.apply(self.params, method=self.dual.encode_image, pixel_values=px)
-
-        @jax.jit
-        def enc_txt(ids, mask):
-            return self.dual.apply(
-                self.params, method=self.dual.encode_text, input_ids=ids, attention_mask=mask
-            )
-
+        enc_txt, enc_img = self._eval_encoders()
         res = evaluate_image_text_retrieval(
-            lambda px: enc_img(jnp.asarray(px)),
-            lambda ids, m: enc_txt(jnp.asarray(ids), jnp.asarray(m)),
+            lambda px: enc_img(self.params, jnp.asarray(px)),
+            lambda ids, m: enc_txt(self.params, jnp.asarray(ids), jnp.asarray(m)),
             iter(ds),
         )
         return {f"flickr/{k}": v for k, v in res.items()}

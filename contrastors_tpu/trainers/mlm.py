@@ -202,17 +202,23 @@ class MLMTrainer(BaseTrainer):
 
         dense = getattr(self.trunk_config, "dense_seq_output", False)
 
-        @jax.jit
-        def eval_step(params, b):
-            out = self.model.apply(
-                params,
-                b["input_ids"],
-                attention_mask=b["attention_mask"],
-                labels=b["labels"],
-                masked_positions=b.get("masked_positions"),
-                deterministic=True,
-            )
-            return out["loss"]
+        if not hasattr(self, "_eval_step_fn"):
+            # compile once per trainer — a fresh jit per eval_loop call
+            # would retrace at every eval cadence
+            @jax.jit
+            def eval_step(params, b):
+                out = self.model.apply(
+                    params,
+                    b["input_ids"],
+                    attention_mask=b["attention_mask"],
+                    labels=b["labels"],
+                    masked_positions=b.get("masked_positions"),
+                    deterministic=True,
+                )
+                return out["loss"]
+
+            self._eval_step_fn = eval_step
+        eval_step = self._eval_step_fn
 
         n = min(len(self._val) // batch, 50)
         for i in range(n):
