@@ -186,7 +186,9 @@ def _extract_pair(record: Dict, objective: Dict, num_negatives: int, sample_nega
     for mapped, col in zip(MAPPED_NAMES[ctype], columns):
         if mapped == "negative":
             negs = record[col]
-            if not negs:
+            if not negs and num_negatives != 0:
+                # num_negatives == 0 legitimately needs none (idx stays []);
+                # otherwise:
                 # zero negatives cannot be padded without faking a false
                 # negative == the positive; the reference dies here too
                 # (random.sample with k > population)
@@ -353,9 +355,9 @@ class StreamingShardDataset:
     def _read_cursor(self) -> Dict[str, int]:
         return self._cursor
 
-    def _flush_cursor(self, path: str):
+    def _flush_cursor(self, path: str, cursor: Optional[Dict[str, int]] = None):
         with open(path, "w") as f:
-            json.dump(self._cursor, f, indent=1)
+            json.dump(self._cursor if cursor is None else cursor, f, indent=1)
 
     def note_consumed(self, snapshot: Dict[str, Any]):
         """Record the state as of the last batch the TRAINER consumed.
@@ -370,14 +372,12 @@ class StreamingShardDataset:
     def save_state(self, ckpt_dir: str):
         os.makedirs(ckpt_dir, exist_ok=True)
         snap = getattr(self, "_consumed_snapshot", None)
-        cur = self._cursor
-        if snap is not None:
-            self._cursor = snap["cursor"]
-        try:
-            self._flush_cursor(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json"))
-            self._flush_cursor(self.cursor_path)  # debug mirror
-        finally:
-            self._cursor = cur
+        # Never swap self._cursor in place: under PrefetchIterator the worker
+        # thread reads/advances it concurrently, and a temporary rollback here
+        # would feed the worker a stale window (duplicate batches).
+        cur = snap["cursor"] if snap is not None else None
+        self._flush_cursor(os.path.join(ckpt_dir, f"rank_{self.rank}_processed.json"), cur)
+        self._flush_cursor(self.cursor_path, cur)  # debug mirror
         # shard-choice + per-rank sampling RNG: without these a resumed run
         # replays the from-scratch draw sequence over mid-consumed shards —
         # valid but not reproducible vs the uninterrupted run

@@ -238,3 +238,43 @@ def grad_cache_loss_and_grads(
     if return_metrics:
         out = out + (dict(loss_aux, router_aux=total_aux),)
     return out
+
+
+def grad_cache_data_axis(mesh, *, packed: bool = False) -> Optional[str]:
+    """The shard_map axis for a grad-cache train step, or None to run it
+    unsharded. Shared by the text and image-text trainers so the
+    eligibility rule cannot silently diverge between the two flagship
+    large-batch paths.
+
+    Eligible when the mesh has a data axis > 1 and no expert/tensor
+    partitioning (param sharding cannot compose with the per-device chunk
+    loop inside shard_map) and the batch is not packed (packed rows shard
+    by row, not by pair — handled by the pjit-global path)."""
+    if packed or mesh is None:
+        return None
+    shape = mesh.shape
+    if (
+        shape.get("data", 1) > 1
+        and shape.get("expert", 1) == 1
+        and shape.get("tensor", 1) == 1
+    ):
+        return "data"
+    return None
+
+
+def shard_map_grad_cache(gc_compute: Callable, mesh, n_outputs: int) -> Callable:
+    """Wrap gc_compute(params, q_batch, d_batch, rng) in shard_map over the
+    "data" axis: params and rng replicated, both token batches row-sharded,
+    every output replicated (gc_compute psums/pmeans internally — SURVEY §7
+    hard part 8; the sharded-logits HLO contract is asserted in
+    tests/test_sharded_loss_scale.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from contrastors_tpu.parallel import shard_map
+
+    return shard_map(
+        gc_compute,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P()),
+        out_specs=tuple(P() for _ in range(n_outputs)),
+    )

@@ -204,17 +204,6 @@ def apply_rope_cat(x: jnp.ndarray, rope: jnp.ndarray) -> jnp.ndarray:
     return (xf * cos + rot * sin).astype(x.dtype)
 
 
-def _pair_rot_matrix(dim: int) -> np.ndarray:
-    """Constant [dim, dim] matrix R with x @ R == interleaved-pair rotation
-    (x0, x1) -> (-x1, x0). Entries are ±1 one-hots, so the bf16 MXU matmul
-    is exact (each output element is a single signed copy, no accumulation)."""
-    R = np.zeros((dim, dim), np.float32)
-    idx = np.arange(0, dim, 2)
-    R[idx + 1, idx] = -1.0
-    R[idx, idx + 1] = 1.0
-    return R
-
-
 def apply_rope_cat_prefixed(x: jnp.ndarray, rope: jnp.ndarray, n_prefix: int) -> jnp.ndarray:
     """2-D ViT rope over [B, S, H, dim] with the first `n_prefix` tokens
     (cls/registers) left unrotated (reference attention.py:136-148).
@@ -237,7 +226,7 @@ def apply_rope_cat_prefixed(x: jnp.ndarray, rope: jnp.ndarray, n_prefix: int) ->
         cos = jnp.concatenate([jnp.ones((n_prefix, dim), jnp.float32), cos], axis=0)
     sin_w = jnp.tile(sin, (1, H))  # [S, H*d]
     cos_w = jnp.tile(cos, (1, H))
-    rot = (x @ jnp.asarray(_pair_rot_matrix(dim), x.dtype)).reshape(B, S, H * dim)
+    rot = (x @ jnp.asarray(_rot_matrix(dim, dim, interleaved=True), x.dtype)).reshape(B, S, H * dim)
     xf = x.reshape(B, S, H * dim)
     out = xf.astype(jnp.float32) * cos_w + rot.astype(jnp.float32) * sin_w
     return out.astype(x.dtype).reshape(B, S, H, dim)

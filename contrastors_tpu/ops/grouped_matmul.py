@@ -33,6 +33,7 @@ the Pallas interpreter for kernel parity tests.
 
 import functools
 import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -248,7 +249,7 @@ def gmm(
 
 
 def aligned_group_layout(
-    flat_e: jnp.ndarray, num_groups: int, block_m: int, src_of=None, sentinel: int = 0
+    flat_e: jnp.ndarray, num_groups: int, block_m: int, src_of=None, sentinel: Optional[int] = None
 ):
     """Dropless dispatch layout: place the A = len(flat_e) assignments in
     expert-sorted order with every group start aligned to block_m.
@@ -281,5 +282,11 @@ def aligned_group_layout(
     P = (A + block_m - 1) // block_m * block_m + E * block_m
     if src_of is None:
         return dest, gp.astype(jnp.int32), P
+    if sentinel is None:
+        # no safe default exists: padding rows gather src[sentinel], so the
+        # caller must guarantee that index is a zero row (e.g. an appended
+        # zeros row at index N) or drhs silently absorbs a real token's
+        # activations on every alignment-padding row
+        raise ValueError("aligned_group_layout: sentinel is required with src_of")
     src = jnp.full((P,), sentinel, jnp.int32).at[dest].set(src_of.astype(jnp.int32))
     return dest, gp.astype(jnp.int32), P, src

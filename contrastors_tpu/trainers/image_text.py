@@ -157,16 +157,10 @@ class ImageTextTrainer(BaseTrainer):
         precomputed = bool(text_args.precomputed)
         text_trainable = not (text_args.freeze or precomputed)
         trainable_scale = self.config.vision_model_args.trainable_logit_scale
+        from contrastors_tpu.grad_cache import grad_cache_data_axis
+
         ndata = self.mesh.shape.get("data", 1)
-        gc_axis = (
-            "data"
-            if (
-                ndata > 1
-                and self.mesh.shape.get("expert", 1) == 1
-                and self.mesh.shape.get("tensor", 1) == 1
-            )
-            else None
-        )
+        gc_axis = grad_cache_data_axis(self.mesh)
 
         def encode_image(params, chunk_batch, chunk_rng):
             px = chunk_batch["pixel_values"]
@@ -232,16 +226,9 @@ class ImageTextTrainer(BaseTrainer):
             return loss, grads
 
         if gc_axis is not None:
-            from jax.sharding import PartitionSpec as P
+            from contrastors_tpu.grad_cache import shard_map_grad_cache
 
-            from contrastors_tpu.parallel import shard_map
-
-            gc_fn = shard_map(
-                gc_compute,
-                mesh=self.mesh,
-                in_specs=(P(), P("data"), P("data"), P()),
-                out_specs=(P(), P()),
-            )
+            gc_fn = shard_map_grad_cache(gc_compute, self.mesh, n_outputs=2)
         else:
             gc_fn = gc_compute
 
@@ -400,6 +387,12 @@ def _overlay_tower(params, tower: str, tower_params):
                 else:
                     dropped.append("/".join(path) + "/**")
             elif k in dst:
+                if isinstance(dst[k], dict):
+                    raise ValueError(
+                        f"tower '{tower}' overlay type mismatch at "
+                        f"{'/'.join(path)}: checkpoint has an array where "
+                        f"the model has a module subtree"
+                    )
                 if tuple(dst[k].shape) != tuple(v.shape):
                     raise ValueError(
                         f"tower '{tower}' overlay shape mismatch at "

@@ -149,10 +149,12 @@ class TextTextTrainer(BaseTrainer):
             if jax.process_count() > 1:
                 # per-rank batches differ; every process must reach the SAME
                 # decision or the compiled step shapes diverge (deadlock)
-                from contrastors_tpu.utils.dist import process_allmean
+                from contrastors_tpu.utils.dist import process_allmean, process_allmin
 
-                agreed = process_allmean({"gain": gain, "kept": kept_min})
-                gain, kept_min = float(agreed["gain"]), float(agreed["kept"])
+                gain = float(process_allmean({"gain": gain})["gain"])
+                # kept is a safety gate: one truncating rank must disable
+                # packing everywhere — min, not mean
+                kept_min = float(process_allmin({"kept": kept_min})["kept"])
             if gain < dargs.packed_auto_threshold or kept_min < 0.99:
                 dargs.packed = False
                 print(
@@ -314,17 +316,10 @@ class TextTextTrainer(BaseTrainer):
             # logits matrix stays [local_q, global_d] per device, and param
             # grads arrive globally summed via the replicated-input transpose
             # psum. chunk_size is therefore per-device in both modes.
+            from contrastors_tpu.grad_cache import grad_cache_data_axis
+
             ndata = self.mesh.shape.get("data", 1)
-            gc_axis = (
-                "data"
-                if (
-                    ndata > 1
-                    and self.mesh.shape.get("expert", 1) == 1
-                    and self.mesh.shape.get("tensor", 1) == 1
-                    and not packed
-                )
-                else None
-            )
+            gc_axis = grad_cache_data_axis(self.mesh, packed=packed)
 
             def encode(model_params, chunk_batch, chunk_rng):
                 out = self._encode(
@@ -408,16 +403,9 @@ class TextTextTrainer(BaseTrainer):
                 return loss, {"model": grads_model, "logit_scale": grads_scale}, gc_metrics
 
             if gc_axis is not None:
-                from jax.sharding import PartitionSpec as P
+                from contrastors_tpu.grad_cache import shard_map_grad_cache
 
-                from contrastors_tpu.parallel import shard_map
-
-                gc_fn = shard_map(
-                    gc_compute,
-                    mesh=self.mesh,
-                    in_specs=(P(), P("data"), P("data"), P()),
-                    out_specs=(P(), P(), P()),
-                )
+                gc_fn = shard_map_grad_cache(gc_compute, self.mesh, n_outputs=3)
             else:
                 gc_fn = gc_compute
 

@@ -62,3 +62,23 @@ def process_allmean(metrics: Dict[str, float]) -> Dict[str, float]:
     for k, m in zip(keys, means):
         out[k] = float(m)
     return out
+
+
+def process_allmin(metrics: Dict[str, float]) -> Dict[str, float]:
+    """Min scalar metrics across processes — for gates where one bad rank
+    must flip the global decision (e.g. packing's dry-pack kept fraction:
+    averaging would mask a single truncating rank)."""
+    if jax.process_count() == 1 or not metrics:
+        return metrics
+    from jax.experimental import multihost_utils
+
+    keys = sorted(k for k, v in metrics.items() if isinstance(v, (int, float, np.floating)))
+    if not keys:
+        return metrics
+    local = np.asarray([float(metrics[k]) for k in keys], np.float32)
+    gathered = multihost_utils.process_allgather(local)
+    out = dict(metrics)
+    mins = np.min(np.asarray(gathered), axis=0)
+    for k, m in zip(keys, mins):
+        out[k] = float(m)
+    return out

@@ -289,6 +289,14 @@ def test_short_record_negatives_cycle_padded():
             objective, num_negatives=5, sample_negatives=True, rng=rng,
         )
 
+    # num_negatives=0 legitimately requires none: an empty list must NOT
+    # raise — the batch stays uniform at 1 doc/query (round-3 review)
+    p, idx = _extract_pair(
+        {"query": "q", "document": "pos", "negatives": []},
+        objective, num_negatives=0, sample_negatives=True, rng=rng,
+    )
+    assert p["document"] == ["pos"] and idx == []
+
 
 def test_collator_pads_ragged_document_lists(tmp_path):
     """num_negatives=-1 over heterogeneous records: the collator cycle-pads
@@ -371,3 +379,29 @@ def test_prefetch_cursor_checkpoints_consumed_not_read_ahead(tmp_path):
     got = [next(it2)["query_input_ids"] for _ in range(3)]
     for a, b in zip(expected, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_save_state_does_not_touch_live_cursor(tmp_path):
+    """save_state must flush the consumed snapshot WITHOUT swapping
+    self._cursor in place: the PrefetchIterator worker thread reads/advances
+    the live cursor concurrently, and a temporary rollback hands the worker
+    a stale window (duplicate batches) or clobbers its advance (round-3
+    review: parametrized _flush_cursor instead of swap/restore)."""
+    import json as _json
+
+    spec = make_bucket(tmp_path, n_shards=2, rows_per_shard=32)
+    ds = StreamingShardDataset(
+        spec, global_batch_size=8, tokenizer=make_tokenizer(tmp_path), seed=3,
+    )
+    it = iter(ds)
+    first = next(it)
+    ds.note_consumed(first["cursor_snapshot"])
+    next(it)  # live cursor advances past the consumed snapshot
+    live_before = dict(ds._cursor)
+    ckpt = tmp_path / "ck2"
+    ds.save_state(str(ckpt))
+    assert ds._cursor == live_before  # never mutated, not even transiently
+    with open(ckpt / "rank_0_processed.json") as f:
+        flushed = _json.load(f)
+    assert flushed == first["cursor_snapshot"]["cursor"]
+    assert flushed != live_before  # the snapshot, not the read-ahead cursor

@@ -50,6 +50,13 @@ def test_aligned_group_layout_src_gather():
     token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), k)
     from contrastors_tpu.ops.grouped_matmul import aligned_group_layout
 
+    # sentinel is mandatory with src_of: a default of 0 would gather token
+    # 0's real activations into padding rows (corrupting drhs grads)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sentinel"):
+        aligned_group_layout(flat_e, E, bm, src_of=token_of)
+
     dest, gp, P, src = aligned_group_layout(flat_e, E, bm, src_of=token_of, sentinel=N)
     src = np.asarray(src)
     dest = np.asarray(dest)

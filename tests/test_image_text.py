@@ -638,6 +638,10 @@ def test_overlay_tower_strict(tmp_path):
         _overlay_tower(params, "text", {"params": {"trunk": {"w": np.ones((3, 2))}}})
     with pytest.raises(ValueError, match="dropped"):
         _overlay_tower(params, "text", {"params": {"extra_block": {"w": np.ones((2, 2))}}})
+    # a checkpoint leaf colliding with a model SUBTREE must raise the
+    # path-named ValueError, not AttributeError on dict.shape
+    with pytest.raises(ValueError, match="type mismatch"):
+        _overlay_tower(params, "text", {"params": {"trunk": np.ones((2, 2))}})
 
 
 def test_iter_tar_samples_precomputed_npy(tmp_path):
