@@ -132,6 +132,10 @@ class MLMDataArgs(DataArgs):
     eval_batch_size: Optional[int] = None
     task_name: Optional[str] = None
     val_mlm_prob: Optional[float] = None
+    # mmlm: sample languages by the reference's published per-language corpus
+    # sizes (dataset/constants.py:2013) instead of the local corpus sizes —
+    # keeps the alpha=0.3 mix recipe-faithful on partial local mirrors.
+    sample_by_reference_lengths: bool = False
 
     @model_validator(mode="after")
     def _checks(self):

@@ -15,3 +15,13 @@ with open(os.path.join(_here, "imagenet_classes.json")) as _f:
 
 IMAGENET_CLASSNAMES = _data["imagenet_classnames"]
 IMAGENET_FOLDER_TO_CLASS = _data["imagenet_folder_to_class"]
+
+
+def reference_multilingual_lengths():
+    """Per-language corpus sizes used by the reference's alpha-temperature
+    sampler (reference: dataset/constants.py:2013 MULTILINGUAL_LENGTHS,
+    consumed at dataset/multilingual.py:160). Bundled so sampling can match
+    the published recipe even when only a subset of the corpora is local.
+    """
+    with open(os.path.join(_here, "multilingual_lengths.json")) as f:
+        return json.load(f)["multilingual_lengths"]

@@ -312,6 +312,38 @@ def load_datacomp_tasklist() -> Dict[str, Dict]:
         return yaml.safe_load(f)
 
 
+def bundled_classnames() -> Dict[str, List[str]]:
+    """Bundled zero-shot class-name lists (public benchmark label data;
+    the reference gets these from the clip_benchmark package at run time).
+    Keys are DataComp/clip_benchmark task keys; ImageNet lives in
+    data/constants.py. Task specs may omit `classnames` for these keys."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "zeroshot_classnames.json"
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def resolve_classnames(task: Dict) -> List[str]:
+    """Classnames for a task spec: explicit list, bundled lookup by task
+    key/name (incl. ImageNet), else a hard error naming the task."""
+    if task.get("classnames"):
+        return task["classnames"]
+    keys = [str(task.get(k, "")).lower() for k in ("key", "name")]
+    if any(k in ("imagenet", "imagenet 1k", "imagenet1k") for k in keys):
+        from contrastors_tpu.data.constants import IMAGENET_CLASSNAMES
+
+        return IMAGENET_CLASSNAMES
+    bundle = bundled_classnames()
+    for k in keys:
+        if k in bundle:
+            return bundle[k]
+    raise ValueError(
+        f"task {task.get('name')!r}: no classnames given and none bundled "
+        f"(bundled keys: {sorted(k for k in bundle if '/' not in k)})"
+    )
+
+
 def datacomp_aggregate_scores(main_scores: Dict[str, float]) -> Dict[str, float]:
     """Reference aggregate_scores.get_aggregate_scores over a
     {display_name: main_metric_value} dict: ImageNet headline, the three
@@ -408,11 +440,11 @@ def main():
     for task in tasks:
         if task["type"] == "zeroshot":
             results[task["name"]] = zeroshot_classification_task(
-                encode_image, encode_text, task["shards"], task["classnames"], args.image_size
+                encode_image, encode_text, task["shards"], resolve_classnames(task), args.image_size
             )
         elif task["type"] in ("grouped_zeroshot", "fairness", "wilds"):
             results[task["name"]] = grouped_zeroshot_task(
-                encode_image, encode_text, task["shards"], task["classnames"],
+                encode_image, encode_text, task["shards"], resolve_classnames(task),
                 group_key=task.get("group_key", "group"), image_size=args.image_size,
             )
         elif task["type"] == "retrieval":

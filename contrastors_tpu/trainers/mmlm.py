@@ -49,7 +49,17 @@ class MMLMTrainer(MLMTrainer):
         datasets = {l: load_from_disk(os.path.join(root, l)) for l in langs}
         datasets = {l: (d["train"] if hasattr(d, "keys") and "train" in d else d) for l, d in datasets.items()}
         sizes = {l: len(d) for l, d in datasets.items()}
-        sampler = MultilingualSampler(sizes, seed=dargs.seed)
+        if getattr(dargs, "sample_by_reference_lengths", False):
+            # recipe-faithful mix: sample by the published corpus sizes
+            # (reference dataset/constants.py:2013 via multilingual.py:160)
+            # for whichever languages are present locally
+            from contrastors_tpu.data.constants import reference_multilingual_lengths
+
+            ref = reference_multilingual_lengths()
+            sample_sizes = {l: ref.get(l, n) for l, n in sizes.items()}
+        else:
+            sample_sizes = sizes
+        sampler = MultilingualSampler(sample_sizes, seed=dargs.seed)
 
         self._val = None
         batch = dargs.batch_size

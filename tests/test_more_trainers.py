@@ -95,6 +95,19 @@ def test_mmlm_trainer(tmp_path):
     assert any(k.startswith("loss/") for m in metrics for k in m)
 
 
+def test_reference_multilingual_lengths_sampling():
+    from contrastors_tpu.data.constants import reference_multilingual_lengths
+    from contrastors_tpu.trainers.mmlm import MultilingualSampler
+
+    ref = reference_multilingual_lengths()
+    assert len(ref) == 110 and ref["en"] == 8421312
+    # sampler over the published sizes: high-resource languages dominate but
+    # alpha=0.3 keeps low-resource ones reachable
+    s = MultilingualSampler({l: ref[l] for l in ("en", "fr", "sc")}, seed=0)
+    draws = [s.next_lang() for _ in range(400)]
+    assert draws.count("en") > draws.count("sc") > 0
+
+
 def test_glue_trainer(tmp_path):
     ckpt = make_checkpoint_dir(tmp_path)
     from datasets import Dataset, DatasetDict
