@@ -23,6 +23,7 @@ Usage:
 """
 
 import argparse
+import functools
 import io
 import json
 import os
@@ -312,11 +313,13 @@ def load_datacomp_tasklist() -> Dict[str, Dict]:
         return yaml.safe_load(f)
 
 
+@functools.lru_cache(maxsize=1)
 def bundled_classnames() -> Dict[str, List[str]]:
     """Bundled zero-shot class-name lists (public benchmark label data;
     the reference gets these from the clip_benchmark package at run time).
     Keys are DataComp/clip_benchmark task keys; ImageNet lives in
-    data/constants.py. Task specs may omit `classnames` for these keys."""
+    data/constants.py. Task specs may omit `classnames` for these keys.
+    Cached: resolve_classnames runs once per task in the eval loop."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "zeroshot_classnames.json"
     )

@@ -240,7 +240,7 @@ def grad_cache_loss_and_grads(
     return out
 
 
-def grad_cache_data_axis(mesh, *, packed: bool = False) -> Optional[str]:
+def grad_cache_data_axis(mesh) -> Optional[str]:
     """The shard_map axis for a grad-cache train step, or None to run it
     unsharded. Shared by the text and image-text trainers so the
     eligibility rule cannot silently diverge between the two flagship
@@ -248,9 +248,14 @@ def grad_cache_data_axis(mesh, *, packed: bool = False) -> Optional[str]:
 
     Eligible when the mesh has a data axis > 1 and no expert/tensor
     partitioning (param sharding cannot compose with the per-device chunk
-    loop inside shard_map) and the batch is not packed (packed rows shard
-    by row, not by pair — handled by the pjit-global path)."""
-    if packed or mesh is None:
+    loop inside shard_map). Packed batches are eligible too: the host packs
+    each data-axis device's pairs into its OWN row group with device-local
+    pair indices (text_text.transform_host_batch), so both the row matrix
+    and the pair-index arrays shard contiguously over "data" and each
+    device's chunk loop sees only its local rows — the loss all-gathers
+    only embeddings, mirroring the reference's DDP contract
+    (reference loss.py:135-213)."""
+    if mesh is None:
         return None
     shape = mesh.shape
     if (

@@ -160,13 +160,15 @@ for lang, n in (("en", 64), ("fr", 32)):
     make_tokenized_dataset(ml_root, tok, n=n, name=lang)
 out_mmlm = str(tmp / "run_mmlm")
 TRAINER_REGISTRY["mmlm"](_Cfg(
-    train_args=_train_args(out_mmlm),
+    train_args=_train_args(out_mmlm, num_epochs=3, learning_rate=1e-3),
     data_args=dict(tokenized_dataset=str(ml_root), mlm_prob=0.3, val_mlm_prob=0.15,
                    batch_size=16, seed=0, workers=0, shuffle=True),
     model_args=dict(model_type="mmlm", model_name=text_ckpt, pretrained=True, attn_impl="sdpa"),
 ), "bf16").train()
-assert all(np.isfinite(m["loss"]) for m in read_metrics(out_mmlm))
-print("MMLM ON-CHIP OK")
+ll_mmlm = [m["loss"] for m in read_metrics(out_mmlm) if "loss" in m]
+assert np.isfinite(ll_mmlm).all(), ll_mmlm
+assert ll_mmlm[-1] < ll_mmlm[0] * 0.9, f"mmlm loss did not decrease: {ll_mmlm}"
+print(f"MMLM ON-CHIP OK (loss {ll_mmlm[0]:.3f} -> {ll_mmlm[-1]:.3f})")
 
 from datasets import Dataset, DatasetDict
 
@@ -181,19 +183,25 @@ glue_data = str(tmp / "sst2")
 dd.save_to_disk(glue_data)
 out_glue = str(tmp / "run_glue")
 TRAINER_REGISTRY["glue"](_Cfg(
-    train_args=_train_args(out_glue, eval_strategy="steps", eval_steps=3),
+    train_args=_train_args(out_glue, eval_strategy="steps", eval_steps=3,
+                           num_epochs=4, learning_rate=1e-3),
     data_args=dict(tokenized_dataset=glue_data, task_name="sst2",
                    batch_size=16, seed=0, workers=0, shuffle=True),
     model_args=dict(model_type="glue", model_name=text_ckpt, pretrained=True,
                     seq_len=16, attn_impl="sdpa"),
 ), "bf16").train()
-assert any("glue_sst2/accuracy" in m for m in read_metrics(out_glue))
-print("GLUE ON-CHIP OK")
+glue_metrics = read_metrics(out_glue)
+assert any("glue_sst2/accuracy" in m for m in glue_metrics)
+ll_glue = [m["loss"] for m in glue_metrics if "loss" in m]
+assert np.isfinite(ll_glue).all(), ll_glue
+assert ll_glue[-1] < ll_glue[0] * 0.9, f"glue loss did not decrease: {ll_glue}"
+print(f"GLUE ON-CHIP OK (loss {ll_glue[0]:.3f} -> {ll_glue[-1]:.3f})")
 
 pairs = make_pairs_file(tmp, n=32)
 out_d = str(tmp / "run_distill")
 TRAINER_REGISTRY["distill"](_Cfg(
-    train_args=_train_args(out_d, distill_loss_fn="towers", distill_temperature=0.05),
+    train_args=_train_args(out_d, distill_loss_fn="towers", distill_temperature=0.05,
+                           num_epochs=3, learning_rate=1e-3),
     data_args=dict(input_shards=pairs, batch_size=8, seed=0, workers=0, shuffle=True,
                    streaming=False, query_max_length=16, document_max_length=16),
     model_args=dict(model_type="distill", model_name=text_ckpt, pooling="mean",
@@ -202,6 +210,8 @@ TRAINER_REGISTRY["distill"](_Cfg(
     tower_model_args=dict(model_type="distill", model_name=text_ckpt, pooling="mean",
                           pretrained=True, attn_impl="sdpa"),
 ), "bf16").train()
-assert all(np.isfinite(m["loss"]) for m in read_metrics(out_d))
-print("DISTILL ON-CHIP OK")
+ll_d = [m["loss"] for m in read_metrics(out_d) if "loss" in m]
+assert np.isfinite(ll_d).all(), ll_d
+assert ll_d[-1] < ll_d[0] * 0.9, f"distill loss did not decrease: {ll_d}"
+print(f"DISTILL ON-CHIP OK (loss {ll_d[0]:.3f} -> {ll_d[-1]:.3f})")
 print("ALL TRAINER FAMILIES DRIVEN ON CHIP")

@@ -56,6 +56,16 @@ class MMLMTrainer(MLMTrainer):
             from contrastors_tpu.data.constants import reference_multilingual_lengths
 
             ref = reference_multilingual_lengths()
+            missing = sorted(l for l in sizes if l not in ref)
+            if missing:
+                # a typo'd/extra language directory must be visible, not
+                # silently sampled at its local corpus size while the rest
+                # use the published sizes (ADVICE r3)
+                print(
+                    f"[mmlm] languages {missing} absent from the reference "
+                    f"length table; sampling them by LOCAL corpus size",
+                    flush=True,
+                )
             sample_sizes = {l: ref.get(l, n) for l, n in sizes.items()}
         else:
             sample_sizes = sizes

@@ -169,6 +169,7 @@ class TextTextTrainer(BaseTrainer):
             )
         from contrastors_tpu.data.packing import pack_tokenized
 
+        groups = self._packed_gc_groups()
         out = dict(host_batch)
         for col in ("query", "document"):
             ids = out.pop(f"{col}_input_ids", None)
@@ -176,16 +177,61 @@ class TextTextTrainer(BaseTrainer):
             if ids is None:
                 continue
             L, K = self._pack_geometry(col)
-            packed = pack_tokenized(ids, mask, row_len=L, max_segments=K,
-                                    pad_id=self.tokenizer.pad_token_id or 0)
-            # multi-host: pair_index is built against this process's rows,
-            # but shard_batch assembles a GLOBAL slot matrix — offset into
-            # this rank's slice (rows stack in process order)
-            rank_offset = jax.process_index() * packed["input_ids"].shape[0] * K
-            packed["pair_index"] = packed["pair_index"] + rank_offset
+            pad_id = self.tokenizer.pad_token_id or 0
+            if groups > 1:
+                # sharded grad-cache mode: pack each data-axis device's
+                # pairs into its OWN row group so rows AND pair indices
+                # shard contiguously over "data" and stay device-LOCAL —
+                # inside shard_map each device's chunk loop sees only its
+                # rows and gathers pairs from its own slot matrix (the loss
+                # all-gathers embeddings only; grad_cache_data_axis)
+                B = ids.shape[0]
+                if B % groups:
+                    raise ValueError(
+                        f"packed grad-cache sharding needs per-host batch "
+                        f"{B} divisible by local data-axis devices {groups}"
+                    )
+                Bg = B // groups
+                parts = [
+                    pack_tokenized(
+                        ids[g * Bg : (g + 1) * Bg], mask[g * Bg : (g + 1) * Bg],
+                        row_len=L, max_segments=K, pad_id=pad_id,
+                    )
+                    for g in range(groups)
+                ]
+                import numpy as np
+
+                packed = {
+                    k: np.concatenate([p[k] for p in parts], axis=0)
+                    for k in parts[0]
+                }
+            else:
+                packed = pack_tokenized(ids, mask, row_len=L, max_segments=K, pad_id=pad_id)
+                # multi-host pjit-global mode: pair_index is built against
+                # this process's rows, but shard_batch assembles a GLOBAL
+                # slot matrix — offset into this rank's slice (rows stack in
+                # process order); last_token_index addresses the flat
+                # [rows * row_len] token grid, so it offsets by row_len
+                rows = packed["input_ids"].shape[0]
+                packed["pair_index"] = packed["pair_index"] + jax.process_index() * rows * K
+                packed["last_token_index"] = (
+                    packed["last_token_index"] + jax.process_index() * rows * L
+                )
             for k, v in packed.items():
                 out[f"{col}_{k}"] = v
         return out
+
+    def _packed_gc_groups(self) -> int:
+        """Per-host packing groups: one per local data-axis device when the
+        packed grad-cache step runs sharded (shard_map over "data"), else 1
+        (one global pool, pjit-global indices)."""
+        if not self.config.train_args.grad_cache:
+            return 1
+        from contrastors_tpu.grad_cache import grad_cache_data_axis
+
+        if grad_cache_data_axis(self.mesh) is None:
+            return 1
+        return self.mesh.shape["data"] // jax.process_count()
 
     def _encode_packed(self, model_params, batch, col, rng):
         _, K = self._pack_geometry(col)
@@ -315,11 +361,13 @@ class TextTextTrainer(BaseTrainer):
             # only document embeddings cross ICI (all_gather in the loss), the
             # logits matrix stays [local_q, global_d] per device, and param
             # grads arrive globally summed via the replicated-input transpose
-            # psum. chunk_size is therefore per-device in both modes.
+            # psum. chunk_size is therefore per-device in both modes. Packed
+            # batches shard the same way: the host packs per-device row
+            # groups with device-local pair indices (transform_host_batch).
             from contrastors_tpu.grad_cache import grad_cache_data_axis
 
             ndata = self.mesh.shape.get("data", 1)
-            gc_axis = grad_cache_data_axis(self.mesh, packed=packed)
+            gc_axis = grad_cache_data_axis(self.mesh)
 
             def encode(model_params, chunk_batch, chunk_rng):
                 out = self._encode(
@@ -377,30 +425,70 @@ class TextTextTrainer(BaseTrainer):
                     loss = loss / ndata
                 return loss, {"accuracy": acc}
 
-            def gc_compute(params, qb, db, rng):
-                if gc_axis is not None:
-                    rng = jax.random.fold_in(rng, jax.lax.axis_index(gc_axis))
-                # chunk is per-device; clamp to a divisor of the local rows
-                # (execution-only — grads are exact for any chunk size)
-                from contrastors_tpu.parallel import divisor_chunk
-
-                cq = divisor_chunk(chunk, qb["input_ids"].shape[0])
-                cd = divisor_chunk(chunk, db["input_ids"].shape[0])
-                loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
-                    params["model"], qb, db, encode, encode, loss_fn,
-                    chunk_size=cq, chunk_size_d=cd, rng=rng,
-                    router_aux_coef=aux_coef if use_moe else 0.0,
-                    extra_params=params["logit_scale"],
-                    direct_chunks=direct_q, direct_chunks_d=direct_d,
-                    return_metrics=True, loss_has_aux=True,
-                )
+            def _reduce(loss, gc_metrics):
                 if gc_axis is not None:
                     loss = jax.lax.psum(loss, gc_axis)
                     gc_metrics = {
                         "accuracy": jax.lax.pmean(gc_metrics["accuracy"], gc_axis),
                         "router_aux": jax.lax.psum(gc_metrics["router_aux"], gc_axis),
                     }
-                return loss, {"model": grads_model, "logit_scale": grads_scale}, gc_metrics
+                return loss, gc_metrics
+
+            if packed:
+                _, Kq = self._pack_geometry("query")
+                _, Kd = self._pack_geometry("document")
+
+                def gc_compute(params, qb, db, rng):
+                    # chunks are packed ROWS, per-device under shard_map
+                    # (each device's rows were packed from its own pairs, so
+                    # pair_index gathers from the LOCAL slot matrix; under
+                    # pjit the indices are global — transform_host_batch)
+                    if gc_axis is not None:
+                        rng = jax.random.fold_in(rng, jax.lax.axis_index(gc_axis))
+                    from contrastors_tpu.parallel import divisor_chunk
+
+                    qb, db = dict(qb), dict(db)
+                    q_idx = qb.pop("pair_index")
+                    d_idx = db.pop("pair_index")
+                    cq = divisor_chunk(max(1, chunk // Kq), qb["input_ids"].shape[0])
+                    cd = divisor_chunk(max(1, chunk // Kd), db["input_ids"].shape[0])
+
+                    def packed_loss(q_slots, d_slots, scale_params):
+                        return loss_fn(q_slots[q_idx], d_slots[d_idx], scale_params)
+
+                    loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
+                        params["model"], qb, db,
+                        make_packed_encode(Kq), make_packed_encode(Kd),
+                        packed_loss, chunk_size=cq, chunk_size_d=cd, rng=rng,
+                        router_aux_coef=aux_coef if use_moe else 0.0,
+                        extra_params=params["logit_scale"],
+                        direct_chunks=direct_q, direct_chunks_d=direct_d,
+                        return_metrics=True, loss_has_aux=True,
+                    )
+                    loss, gc_metrics = _reduce(loss, gc_metrics)
+                    return loss, {"model": grads_model, "logit_scale": grads_scale}, gc_metrics
+
+            else:
+
+                def gc_compute(params, qb, db, rng):
+                    if gc_axis is not None:
+                        rng = jax.random.fold_in(rng, jax.lax.axis_index(gc_axis))
+                    # chunk is per-device; clamp to a divisor of the local rows
+                    # (execution-only — grads are exact for any chunk size)
+                    from contrastors_tpu.parallel import divisor_chunk
+
+                    cq = divisor_chunk(chunk, qb["input_ids"].shape[0])
+                    cd = divisor_chunk(chunk, db["input_ids"].shape[0])
+                    loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
+                        params["model"], qb, db, encode, encode, loss_fn,
+                        chunk_size=cq, chunk_size_d=cd, rng=rng,
+                        router_aux_coef=aux_coef if use_moe else 0.0,
+                        extra_params=params["logit_scale"],
+                        direct_chunks=direct_q, direct_chunks_d=direct_d,
+                        return_metrics=True, loss_has_aux=True,
+                    )
+                    loss, gc_metrics = _reduce(loss, gc_metrics)
+                    return loss, {"model": grads_model, "logit_scale": grads_scale}, gc_metrics
 
             if gc_axis is not None:
                 from contrastors_tpu.grad_cache import shard_map_grad_cache
@@ -409,41 +497,17 @@ class TextTextTrainer(BaseTrainer):
             else:
                 gc_fn = gc_compute
 
+            packed_keys = ("input_ids", "segment_ids", "position_ids", "pair_index")
+
             @partial(jax.jit, donate_argnums=(0, 1))
             def train_step(params, opt_state, batch, rng):
                 if packed:
-                    _, Kq = self._pack_geometry("query")
-                    _, Kd = self._pack_geometry("document")
-                    qb = {k: batch[f"query_{k}"] for k in ("input_ids", "segment_ids", "position_ids")}
-                    db = {k: batch[f"document_{k}"] for k in ("input_ids", "segment_ids", "position_ids")}
-                    q_idx = batch["query_pair_index"]
-                    d_idx = batch["document_pair_index"]
-                    import math
-
-                    rows_gcd = math.gcd(qb["input_ids"].shape[0], db["input_ids"].shape[0])
-                    chunk_rows = max(1, chunk // Kq)
-                    while rows_gcd % chunk_rows:
-                        chunk_rows -= 1
-
-                    def packed_loss(q_slots, d_slots, scale_params):
-                        return loss_fn(q_slots[q_idx], d_slots[d_idx], scale_params)
-
-                    loss, grads_model, grads_scale, gc_metrics = grad_cache_loss_and_grads(
-                        params["model"], qb, db,
-                        make_packed_encode(Kq), make_packed_encode(Kd),
-                        packed_loss, chunk_size=chunk_rows, rng=rng,
-                        router_aux_coef=aux_coef if use_moe else 0.0,
-                        extra_params=params["logit_scale"],
-                        direct_chunks=direct_q,
-                        direct_chunks_d=direct_d,
-                        return_metrics=True,
-                        loss_has_aux=True,
-                    )
-                    grads = {"model": grads_model, "logit_scale": grads_scale}
+                    qb = {k: batch[f"query_{k}"] for k in packed_keys}
+                    db = {k: batch[f"document_{k}"] for k in packed_keys}
                 else:
                     qb = {"input_ids": batch["query_input_ids"], "attention_mask": batch["query_attention_mask"]}
                     db = {"input_ids": batch["document_input_ids"], "attention_mask": batch["document_attention_mask"]}
-                    loss, grads, gc_metrics = gc_fn(params, qb, db, rng)
+                loss, grads, gc_metrics = gc_fn(params, qb, db, rng)
                 updates, new_opt = self.tx.update(grads, opt_state, params)
                 new_params = clamp_scale(optax.apply_updates(params, updates))
                 gnorm = optax.global_norm(grads)

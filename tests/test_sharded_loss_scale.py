@@ -154,3 +154,91 @@ def test_hard_part_8_logits_stay_sharded_in_hlo(gc_trainer):
         line for line in hlo.splitlines() if re.search(r"= f32\[\d+,64\]\{[^}]*\} all-gather", line)
     ]
     assert emb_gathers, "expected an embedding all-gather for the document pool"
+
+
+# -- packed grad-cache: the flagship pretrain execution mode must shard too --
+# (VERDICT r3 #1: packed rows pack per-device on the host with LOCAL pair
+# indices; the step runs in shard_map, so the chunk loop never replicates)
+
+PK_SEG, PK_ROWLEN = 4, 4 * SEQ  # 4 full-length segments per row: lossless
+PK_ROWS_LOCAL = GLOBAL_B // 8 // PK_SEG  # 16 rows per device
+
+
+@pytest.fixture(scope="module")
+def packed_gc_trainer(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("sharded_packed")
+    ckpt = make_checkpoint_dir(tmp)
+    data = make_pairs_file(tmp, n=GLOBAL_B)
+    cfg = base_config(
+        ckpt, data, str(tmp / "run"), grad_cache=True, chunk_size=CHUNK
+    )
+    cfg.data_args.batch_size = GLOBAL_B
+    cfg.data_args.packed = True
+    cfg.data_args.packed_max_segments = PK_SEG
+    cfg.data_args.packed_seq_len = PK_ROWLEN
+    return TRAINER_REGISTRY["encoder"](cfg, "fp32")
+
+
+def _packed_setup(trainer):
+    from contrastors_tpu.parallel import shard_batch
+    from contrastors_tpu.parallel.mesh import replicate
+
+    arrays = _batch(trainer)
+    host = trainer.transform_host_batch(dict(arrays))
+    assert host["query_input_ids"].shape == (GLOBAL_B // PK_SEG, PK_ROWLEN)
+    # per-device groups: indices are LOCAL (every device's slice addresses
+    # its own [rows_local * K] slot matrix)
+    pair = host["query_pair_index"].reshape(8, -1)
+    assert pair.max() < PK_ROWS_LOCAL * PK_SEG
+    train_step = trainer.make_train_step()
+    params = jax.device_get(trainer.params)
+    opt_state = jax.device_get(trainer.opt_state)
+    with trainer.mesh:
+        p8 = replicate(params, trainer.mesh)
+        o8 = replicate(opt_state, trainer.mesh)
+        b8 = shard_batch(
+            {k: v for k, v in host.items() if isinstance(v, np.ndarray)}, trainer.mesh
+        )
+    return arrays, train_step, p8, o8, b8
+
+
+def test_packed_grad_cache_sharded_equals_naive(packed_gc_trainer):
+    arrays, train_step, p8, o8, b8 = _packed_setup(packed_gc_trainer)
+    rng = jax.random.PRNGKey(7)
+    # gold: single-device naive PADDED full batch (packing is lossless at
+    # this geometry; packed==padded pooling is covered by test_packing)
+    ref_loss, ref_acc, ref_gnorm = _naive_reference(packed_gc_trainer, arrays, rng)
+    with packed_gc_trainer.mesh:
+        _, _, metrics = train_step(p8, o8, b8, rng)
+        loss8, acc8, gnorm8 = (
+            float(metrics["loss"]), float(metrics["accuracy"]), float(metrics["grad_norm"])
+        )
+    np.testing.assert_allclose(loss8, ref_loss, atol=5e-6, rtol=1e-6)
+    np.testing.assert_allclose(acc8, ref_acc, atol=1e-6)
+    np.testing.assert_allclose(gnorm8, ref_gnorm, rtol=1e-4)
+
+
+def test_packed_grad_cache_logits_stay_sharded_in_hlo(packed_gc_trainer):
+    _, train_step, p8, o8, b8 = _packed_setup(packed_gc_trainer)
+    with packed_gc_trainer.mesh:
+        hlo = train_step.lower(p8, o8, b8, jax.random.PRNGKey(7)).compile().as_text()
+
+    # per-device [local_q=64, global_d=512] logits exist; global [512,512] not
+    assert re.search(r"f32\[64,512\]", hlo), "per-device packed logits not found"
+    assert not re.search(r"\[512,512\]", hlo), "global logits matrix materialized per device"
+
+    # no token all-gather (integer arrays stay local to each device) and no
+    # full row set per device: the global token grid is [128, 64]
+    token_gathers = [
+        line for line in hlo.splitlines()
+        if "all-gather" in line and re.search(r"= [su]\d+\[", line)
+    ]
+    assert not token_gathers, f"token arrays all-gathered: {token_gathers[:3]}"
+    assert not re.search(r"[su]\d+\[128,64\]", hlo), "full packed row set materialized per device"
+
+    # embeddings DO cross the ICI (the document pool)
+    emb_gathers = [
+        line for line in hlo.splitlines()
+        if re.search(r"= f32\[\d+,64\]\{[^}]*\} all-gather", line)
+    ]
+    assert emb_gathers, "expected an embedding all-gather for the document pool"

@@ -136,4 +136,5 @@ def test_tp_trainer_e2e(tmp_path):
     metrics = read_metrics(out)
     losses = [m["loss"] for m in metrics if "loss" in m]
     assert all(np.isfinite(l) for l in losses)
-    assert losses[-1] < max(losses[0], 0.05)
+    assert losses[0] > 0.2, f"degenerate init loss: {losses}"
+    assert losses[-1] < 0.5 * losses[0], f"loss did not converge: {losses}"

@@ -321,9 +321,11 @@ def test_decoder_contrastive_trainer(tmp_path):
     metrics = read_metrics(out)
     losses = [m["loss"] for m in metrics if "loss" in m]
     assert all(np.isfinite(l) for l in losses)
-    # the toy task converges to ~0 within the first logged steps (warmup now
-    # applies a real first update), so require either decrease or floor
-    assert losses[-1] < max(losses[0], 0.05), f"loss did not converge: {losses}"
+    # real learning, not a degenerate init: the first logged loss (step 2,
+    # still in warmup) must be near the ln(B) init value and the final loss
+    # must have at least halved from it
+    assert losses[0] > 0.2, f"degenerate init loss: {losses}"
+    assert losses[-1] < 0.5 * losses[0], f"loss did not converge: {losses}"
 
 
 def test_packed_contrastive_trainer(tmp_path):
@@ -434,7 +436,8 @@ def test_packed_grad_cache_trainer(tmp_path):
     metrics = read_metrics(out)
     losses = [m["loss"] for m in metrics if "loss" in m]
     assert all(np.isfinite(l) for l in losses)
-    assert losses[-1] < max(losses[0], 0.05), f"loss did not converge: {losses}"
+    assert losses[0] > 0.2, f"degenerate init loss: {losses}"
+    assert losses[-1] < 0.5 * losses[0], f"loss did not converge: {losses}"
 
 
 def test_async_checkpoint_roundtrip(tmp_path):
