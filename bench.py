@@ -168,7 +168,17 @@ def main():
     parser.add_argument("--skip_e2e", action="store_true")
     parser.add_argument("--vision_chunk", type=int, default=32)
     parser.add_argument("--vision_per_chip_batch", type=int, default=512)
+    # timing: median of --iters steps; r3 VERDICT weak #2 — 3 iterations
+    # with no spread made a 2.5% delta indistinguishable from noise
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument(
+        "--quick", action="store_true",
+        help="headline only (regression gate: median + spread, no secondaries)",
+    )
     args = parser.parse_args()
+    if args.quick:
+        args.skip_packed = args.skip_mlm = args.skip_infer = True
+        args.skip_vision = args.skip_e2e = True
 
     n_chips = len(jax.devices())
     per_chip_batch = args.per_chip_batch  # 16384 global on a 32-chip pod
@@ -228,12 +238,14 @@ def main():
     params, opt_state, loss = step(params, opt_state, qb, db, jax.random.PRNGKey(1))
     _ = float(loss)
 
-    iters = 3
-    t0 = time.perf_counter()
+    iters = args.iters
+    times = []
     for i in range(iters):
+        t0 = time.perf_counter()
         params, opt_state, loss = step(params, opt_state, qb, db, jax.random.PRNGKey(i))
         _ = float(loss)
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
     headline_loss = float(loss)
 
     pairs_per_sec_chip = B / dt / n_chips
@@ -540,6 +552,8 @@ def main():
                     "direct_q": direct_q,
                     "direct_d": args.direct_d,
                     "step_ms": round(dt * 1000, 1),
+                    "step_ms_all": [round(t * 1000, 1) for t in times],
+                    "step_ms_spread": round((max(times) - min(times)) * 1000, 1),
                     "loss": headline_loss,
                     "params_m": round(n_params / 1e6, 1),
                     "hw_tflops_per_chip": round(hw_tflops, 1),
