@@ -299,9 +299,17 @@ class StreamingShardDataset:
             # index keys are stored pre-normalized (see data/indexing.py and
             # the reference's counts convention) — only strip the scheme
             counts = {k.replace("s3://", ""): v for k, v in counts.items()}
-            with fs.open(f"{bucket}/offsets.json.gz", "rb", compression="gzip") as f:
-                offsets = json.load(f)
-            offsets = {k.replace("s3://", ""): v for k, v in offsets.items()}
+            # pretokenized token-array shards (scripts/pretokenize_pairs.py)
+            # have fixed-size records — row arithmetic replaces offsets
+            pretok = bool(ds.get("pretokenized")) or all(
+                u.endswith(".tokens") for u in urls
+            )
+            if pretok:
+                offsets = {}
+            else:
+                with fs.open(f"{bucket}/offsets.json.gz", "rb", compression="gzip") as f:
+                    offsets = json.load(f)
+                offsets = {k.replace("s3://", ""): v for k, v in offsets.items()}
 
             name = ds.get("name") or Path(bucket).name
             prefixes = None
@@ -327,12 +335,13 @@ class StreamingShardDataset:
                 self.max_per_shard[url] = quota
                 self.total_samples += quota * self.world_size
                 self.path2objective[url] = ds["objective"]
-                self.path2offsets[url] = offsets[key]
+                self.path2offsets[url] = None if pretok else offsets[key]
                 self.path2meta[url] = {
                     "name": name,
                     "prefixes": prefixes,
                     "kd_loss": ds.get("kd_loss", False),
                     "query_only": ds.get("query_only", False),
+                    "pretokenized": pretok,
                 }
         if not paths:
             raise ValueError(f"no usable shards in {spec_path} for batch {self.rank_batch_size}")
@@ -471,6 +480,67 @@ class StreamingShardDataset:
             records = records + fill
         return records
 
+    # -- pretokenized token-array shards (scripts/pretokenize_pairs.py) -----
+    def _load_token_shard(self, url: str) -> Dict[str, Any]:
+        """Memory-map a .tokens shard's column arrays (cached per url)."""
+        if not hasattr(self, "_token_shards"):
+            self._token_shards: Dict[str, Dict[str, Any]] = {}
+        if url not in self._token_shards:
+            d = url.replace("file://", "")
+            try:
+                with open(os.path.join(d, "meta.json")) as f:
+                    meta = json.load(f)
+                sh: Dict[str, Any] = {"meta": meta}
+                for name in os.listdir(d):
+                    if name.endswith(".npy"):
+                        sh[name[:-4]] = np.load(os.path.join(d, name), mmap_mode="r")
+            except Exception as e:  # noqa: BLE001 — missing/corrupt shard
+                raise ShardReadError(f"cannot open token shard {url}: {e}") from e
+            if self.num_negatives >= 0:
+                m = meta.get("docs_per_query", 1)
+                if m != self.num_negatives + 1:
+                    raise ValueError(
+                        f"{url} was pretokenized with {m - 1} negatives per "
+                        f"query but the config asks for {self.num_negatives} "
+                        "— re-run scripts/pretokenize_pairs.py"
+                    )
+            self._token_shards[url] = sh
+        return self._token_shards[url]
+
+    def _read_token_batch(self, url: str, already: int) -> Dict[str, Any]:
+        """Rank window of a pretokenized shard: pure mmap slice + mask
+        reconstruction (masks are right-padded contiguous ones by the
+        collator contract, so lengths suffice) — zero tokenizer work."""
+        sh = self._load_token_shard(url)
+        n_pairs = sh["meta"]["n_pairs"]
+        rb = self.rank_batch_size
+        start = already * self.world_size + self.rank * rb
+        out: Dict[str, Any] = {}
+        try:
+            for col, spec in sh["meta"]["columns"].items():
+                m = spec["rows"] // n_pairs
+                lo, hi = start * m, (start + rb) * m
+                ids = np.asarray(sh[f"{col}_input_ids"][lo:hi], dtype=np.int32)
+                lens = np.asarray(sh[f"{col}_lengths"][lo:hi])
+                if ids.shape[0] < rb * m:
+                    raise ShardReadError(
+                        f"short token window in {url} @ pair {start}: "
+                        f"{ids.shape[0]} of {rb * m} rows"
+                    )
+                L = ids.shape[1]
+                out[f"{col}_input_ids"] = ids
+                out[f"{col}_attention_mask"] = (
+                    np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
+                ).astype(np.int32)
+            if sh["meta"].get("kd_scores"):
+                out["kd_scores"] = np.asarray(sh["kd_scores"][start : start + rb], np.float32)
+        except ShardReadError:
+            raise
+        except Exception as e:  # noqa: BLE001 — mmap IO error mid-read
+            self._token_shards.pop(url, None)
+            raise ShardReadError(f"token read error in {url} @ pair {start}: {e}") from e
+        return out
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         while True:
             while self.current_paths:
@@ -485,8 +555,12 @@ class StreamingShardDataset:
 
                 cursor = self._read_cursor()
                 already = cursor[url]
+                meta = self.path2meta[url]
+                read_window = (
+                    self._read_token_batch if meta["pretokenized"] else self._read_rank_batch
+                )
                 try:
-                    records = self._read_rank_batch(url, already)
+                    records = read_window(url, already)
                 except ShardReadError as e:
                     # reopen once (transient stream state), then substitute
                     # this rank's first window (keeps per-shard batch counts —
@@ -494,10 +568,10 @@ class StreamingShardDataset:
                     # on the shard
                     print(f"[data] read failure, retrying: {e}", flush=True)
                     try:
-                        records = self._read_rank_batch(url, already)
+                        records = read_window(url, already)
                     except ShardReadError:
                         try:
-                            records = self._read_rank_batch(url, 0)
+                            records = read_window(url, 0)
                             print(f"[data] substituted window 0 of {url}", flush=True)
                         except ShardReadError as e2:
                             if self.world_size > 1:
@@ -512,37 +586,42 @@ class StreamingShardDataset:
                 self._write_cursor(cursor)
                 if cursor[url] >= self.max_per_shard[url]:
                     self.current_paths.remove(url)
-                    # shard exhausted: close its stream (thousands of shards
-                    # would otherwise accumulate open fds + decode caches)
+                    # shard exhausted: close its stream / drop its mmaps
+                    # (thousands of shards would otherwise accumulate open
+                    # fds + decode caches)
                     s = getattr(self, "_streams", {}).pop(url, None)
                     if s is not None:
                         try:
                             s.close()
                         except Exception:
                             pass
+                    getattr(self, "_token_shards", {}).pop(url, None)
 
-                meta = self.path2meta[url]
-                objective = self.path2objective[url]
-                pairs = []
-                for r in records:
-                    p, neg_idx = _extract_pair(
-                        r, objective, self.num_negatives, self.sample_negatives, self.sample_rng
+                if meta["pretokenized"]:
+                    batch = dict(records)  # already token arrays
+                    batch["dataset_name"] = meta["name"]
+                else:
+                    objective = self.path2objective[url]
+                    pairs = []
+                    for r in records:
+                        p, neg_idx = _extract_pair(
+                            r, objective, self.num_negatives, self.sample_negatives, self.sample_rng
+                        )
+                        if meta["kd_loss"]:
+                            # teacher scores gathered with the SAME indices as
+                            # the kept negatives (sampled subsets / -1 = all)
+                            neg_scores = r["negatives_scores"]
+                            p["kd_scores"] = [r["document_score"]] + [
+                                neg_scores[j] for j in (neg_idx or [])
+                            ]
+                        pairs.append(p)
+                    batch = self.collator(
+                        pairs,
+                        objective["type"],
+                        dataset_name=meta["name"],
+                        prefixes=meta["prefixes"],
+                        query_only=meta["query_only"],
                     )
-                    if meta["kd_loss"]:
-                        # teacher scores gathered with the SAME indices as
-                        # the kept negatives (sampled subsets / -1 = all)
-                        neg_scores = r["negatives_scores"]
-                        p["kd_scores"] = [r["document_score"]] + [
-                            neg_scores[j] for j in (neg_idx or [])
-                        ]
-                    pairs.append(p)
-                batch = self.collator(
-                    pairs,
-                    objective["type"],
-                    dataset_name=meta["name"],
-                    prefixes=meta["prefixes"],
-                    query_only=meta["query_only"],
-                )
                 # post-batch cursor + RNG snapshot rides along so the
                 # consumer can checkpoint what it has actually trained on
                 # (note_consumed). RNG states must travel WITH the cursor:

@@ -39,6 +39,7 @@ class Encoder:
         binarize: bool = False,
         matryoshka_dim: Optional[int] = None,
         mesh=None,
+        bucketed: bool = True,
     ):
         self.module = module
         self.params = params
@@ -51,6 +52,12 @@ class Encoder:
         self.binarize = binarize
         self.matryoshka_dim = matryoshka_dim
         self.mesh = mesh
+        # length bucketing (r3 VERDICT next #7): sort by token length, pad
+        # each batch to the next power-of-two bucket instead of seq_len —
+        # at most log2(seq_len) compiled shapes, big win on mixed-length
+        # corpora (every mini-MTEB/NanoBEIR eval pays this). Embeddings are
+        # identical (pooling and attention mask out pads).
+        self.bucketed = bucketed
 
         @jax.jit
         def _encode(params, ids, mask):
@@ -83,27 +90,72 @@ class Encoder:
             emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
         return emb
 
+    def _run_batch(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        ids = jnp.asarray(ids)
+        mask = jnp.asarray(mask)
+        if self._batch_sharding is not None:
+            ids = jax.device_put(ids, self._batch_sharding)
+            mask = jax.device_put(mask, self._batch_sharding)
+        return np.asarray(self._encode_fn(self.params, ids, mask))
+
+    @staticmethod
+    def _bucket(n: int, cap: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
     def encode(self, sentences: List[str], prefix: Optional[str] = None) -> np.ndarray:
-        out = []
         bs = self.batch_size
         if prefix:
             sentences = [f"{prefix}: {s}" for s in sentences]
-        for start in range(0, len(sentences), bs):
-            chunk = sentences[start : start + bs]
-            pad_to = bs  # fixed shape => one compiled program
-            texts = chunk + [""] * (pad_to - len(chunk))
-            enc = self.tokenizer(
-                texts, padding="max_length", truncation=True,
-                max_length=self.seq_len, return_tensors="np",
-            )
-            ids = jnp.asarray(enc["input_ids"].astype(np.int32))
-            mask = jnp.asarray(enc["attention_mask"].astype(np.int32))
-            if self._batch_sharding is not None:
-                ids = jax.device_put(ids, self._batch_sharding)
-                mask = jax.device_put(mask, self._batch_sharding)
-            emb = np.asarray(self._encode_fn(self.params, ids, mask))[: len(chunk)]
-            out.append(emb)
-        return self._postprocess(np.concatenate(out))
+
+        if not self.bucketed:
+            out = []
+            for start in range(0, len(sentences), bs):
+                chunk = sentences[start : start + bs]
+                texts = chunk + [""] * (bs - len(chunk))  # fixed shape
+                enc = self.tokenizer(
+                    texts, padding="max_length", truncation=True,
+                    max_length=self.seq_len, return_tensors="np",
+                )
+                emb = self._run_batch(
+                    enc["input_ids"].astype(np.int32),
+                    enc["attention_mask"].astype(np.int32),
+                )[: len(chunk)]
+                out.append(emb)
+            return self._postprocess(np.concatenate(out))
+
+        # bucketed: tokenize once unpadded, sort by length, batch into
+        # power-of-two shapes, un-sort at the end
+        enc = self.tokenizer(
+            sentences, padding=False, truncation=True, max_length=self.seq_len
+        )
+        ids_list = enc["input_ids"]
+        lens = np.asarray([len(x) for x in ids_list], dtype=np.int64)
+        order = np.argsort(-lens, kind="stable")
+        pad_id = self.tokenizer.pad_token_id or 0
+        chunks = []  # (positions, embeddings)
+        for start in range(0, len(order), bs):
+            idx = order[start : start + bs]
+            L = self._bucket(int(lens[idx].max(initial=1)), self.seq_len)
+            ids = np.full((bs, L), pad_id, dtype=np.int32)
+            mask = np.zeros((bs, L), dtype=np.int32)
+            for r, i in enumerate(idx):
+                n = min(len(ids_list[i]), L)
+                ids[r, :n] = ids_list[i][:n]
+                mask[r, :n] = 1
+            if len(idx) < bs:
+                # fill shape-padding rows with the first real row (an all-pad
+                # row would softmax over a fully-masked attention bias)
+                ids[len(idx) :] = ids[0]
+                mask[len(idx) :] = mask[0]
+            chunks.append((idx, self._run_batch(ids, mask)[: len(idx)]))
+        dim = chunks[0][1].shape[-1]
+        embs = np.empty((len(sentences), dim), dtype=np.float32)
+        for idx, emb in chunks:
+            embs[idx] = emb
+        return self._postprocess(embs)
 
     # MTEB / BEIR-style interface (reference encoder.py:106-160 STransformer)
     def encode_queries(self, queries: List[str], **kw) -> np.ndarray:

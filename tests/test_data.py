@@ -405,3 +405,101 @@ def test_save_state_does_not_touch_live_cursor(tmp_path):
         flushed = _json.load(f)
     assert flushed == first["cursor_snapshot"]["cursor"]
     assert flushed != live_before  # the snapshot, not the read-ahead cursor
+
+
+def _pretokenize(tmp_path, spec, **extra_flags):
+    """Run scripts/pretokenize_pairs over `spec`, return the new spec path."""
+    import sys
+
+    from contrastors_tpu.scripts import pretokenize_pairs as pp
+
+    tok_dir = tmp_path / "tok_dir"
+    make_tokenizer(tmp_path).save_pretrained(str(tok_dir))
+    out = tmp_path / "pretok"
+    argv = [
+        "pretokenize_pairs", "--spec", spec, "--tokenizer", str(tok_dir),
+        "--out", str(out),
+    ] + [f for f in extra_flags.get("flags", [])]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        pp.main()
+    finally:
+        sys.argv = old
+    return str(out / "spec.yaml")
+
+
+def test_pretokenized_equals_on_the_fly(tmp_path):
+    """Exact equivalence: a StreamingShardDataset over token-array shards
+    yields byte-identical batches to the on-the-fly tokenizing path with the
+    same seed (r3 VERDICT next #4)."""
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path)
+    tok_spec = _pretokenize(tmp_path, spec, flags=["--add_prefix"])
+
+    kw = dict(
+        global_batch_size=8, tokenizer=tok, seed=11, add_prefix=True,
+        process_index=0, process_count=1,
+    )
+    ds_fly = StreamingShardDataset(spec, state_dir=str(tmp_path / "s1"), **kw)
+    ds_tok = StreamingShardDataset(tok_spec, state_dir=str(tmp_path / "s2"), **kw)
+    assert len(ds_fly) == len(ds_tok)
+
+    n = 0
+    for a, b in zip(ds_fly, ds_tok):
+        assert a["dataset_name"] == b["dataset_name"]
+        for k in (
+            "query_input_ids", "query_attention_mask",
+            "document_input_ids", "document_attention_mask",
+        ):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        n += 1
+    assert n == 8
+
+
+def test_pretokenized_resume_and_rank_windows(tmp_path):
+    """The cursor/resume machinery is shared: a pretokenized dataset resumes
+    exactly, and two ranks read disjoint windows."""
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path)
+    tok_spec = _pretokenize(tmp_path, spec)
+
+    kw = dict(global_batch_size=8, tokenizer=tok, seed=5)
+    ds = StreamingShardDataset(tok_spec, state_dir=str(tmp_path / "sa"), **kw)
+    it = iter(ds)
+    first = next(it)
+    ds.note_consumed(first["cursor_snapshot"])
+    ckpt = tmp_path / "ckpt"
+    ds.save_state(str(ckpt))
+    rest = [b["query_input_ids"] for b in it]
+
+    ds2 = StreamingShardDataset(tok_spec, state_dir=str(tmp_path / "sb"), **kw)
+    ds2.load_state(str(ckpt))
+    rest2 = [b["query_input_ids"] for b in iter(ds2)]
+    assert len(rest) == len(rest2)
+    for x, y in zip(rest, rest2):
+        np.testing.assert_array_equal(x, y)
+
+    rows = {}
+    for rank in (0, 1):
+        d = StreamingShardDataset(
+            tok_spec, global_batch_size=8, tokenizer=tok, seed=9,
+            process_index=rank, process_count=2,
+            state_dir=str(tmp_path / f"sr{rank}"),
+        )
+        rows[rank] = {tuple(r) for b in d for r in b["query_input_ids"].tolist()}
+    assert not rows[0] & rows[1]
+
+
+def test_pretokenized_num_negatives_mismatch_raises(tmp_path):
+    """Asking the loader for a different negative count than the shards were
+    written with must fail loudly, not silently mislabel clip_loss."""
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path)
+    tok_spec = _pretokenize(tmp_path, spec)
+    ds = StreamingShardDataset(
+        tok_spec, global_batch_size=8, tokenizer=tok, seed=0, num_negatives=3,
+        state_dir=str(tmp_path / "sn"),
+    )
+    with pytest.raises(ValueError, match="pretokenized with"):
+        next(iter(ds))

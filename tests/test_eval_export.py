@@ -399,3 +399,20 @@ def test_modernbert_export_round_trip(tmp_path):
         ).last_hidden_state.numpy()
     for b, l in enumerate([20, 13]):
         np.testing.assert_allclose(torch_out[b, :l], flax_out[b, :l], atol=5e-5, rtol=1e-4)
+
+
+def test_encoder_bucketed_equals_fixed_pad(tmp_path):
+    """Length bucketing (default) must return exactly the same embeddings as
+    padding every batch to seq_len, in the original sentence order, on
+    mixed-length inputs that exercise several buckets and a ragged tail."""
+    enc, _ = build_encoder(tmp_path)
+    assert enc.bucketed
+    rng = np.random.default_rng(0)
+    sents = [
+        " ".join(f"word{w}" for w in rng.integers(0, 50, size=n))
+        for n in rng.integers(1, 15, size=11)  # mixed lengths, 11 % 4 != 0
+    ]
+    bucketed = enc.encode(list(sents))
+    enc.bucketed = False
+    fixed = enc.encode(list(sents))
+    np.testing.assert_allclose(bucketed, fixed, atol=2e-6)
