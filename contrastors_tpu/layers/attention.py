@@ -7,7 +7,9 @@ FlashAttentionPooling modules (reference: layers/attention.py:19-245,
     so HF remaps are shared), lowered to a single MXU matmul;
   - varlen/unpad dispatch is replaced by static-shape masks or packed
     segment ids — dynamic shapes would defeat XLA tiling;
-  - rotary is pure jnp (layers/rotary.py) fused by XLA into the qkv matmul.
+  - rotary defers to ops.attention_core: fused in-VMEM inside the Pallas
+    flash kernels on the flash path (like the reference's CUDA kernels),
+    pure jnp (layers/rotary.py) on the SDPA path — numerically identical.
 """
 
 from typing import Optional
@@ -52,6 +54,7 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(B, S, Hkv, D)
         v = v.reshape(B, S, Hkv, D)
 
+        rotary_kw = {}
         if cfg.rotary_emb_dim > 0:
             # DynamicNTK scaling only kicks in past the trained context and
             # is inference-only in the reference too (modeling_biencoder.py:226-227).
@@ -68,7 +71,19 @@ class MultiHeadAttention(nn.Module):
                 # open_lm quirk: "position" = head index (attention.py:126-131)
                 q = apply_rotary(q.swapaxes(1, 2), cos, sin, cfg.rotary_emb_interleaved).swapaxes(1, 2)
                 k = apply_rotary(k.swapaxes(1, 2), cos, sin, cfg.rotary_emb_interleaved).swapaxes(1, 2)
+            elif cfg.fused_rotary:
+                # defer to attention_core: rotated in-VMEM inside the flash
+                # kernels, apply_rotary outside on every non-flash path
+                rotary_kw = dict(
+                    rotary_cos=cos,
+                    rotary_sin=sin,
+                    rotary_interleaved=cfg.rotary_emb_interleaved,
+                    rotary_position_ids=position_ids,
+                )
             else:
+                # default: rotate outside (XLA fuses this to ~one HBM
+                # round-trip; cheaper than in-kernel re-rotation at D=64 on
+                # v5e — ROADMAP round-4 ablation)
                 q = apply_rotary(q, cos, sin, cfg.rotary_emb_interleaved, position_ids)
                 k = apply_rotary(k, cos, sin, cfg.rotary_emb_interleaved, position_ids)
         elif rope is not None:
@@ -96,6 +111,7 @@ class MultiHeadAttention(nn.Module):
             dropout_rng=dropout_rng,
             block_q=cfg.flash_block_q,
             block_kv=cfg.flash_block_kv,
+            **rotary_kw,
         )
         out = out.reshape(B, S, H * D)
         return nn.Dense(cfg.n_embd, use_bias=cfg.qkv_proj_bias, dtype=self.dtype, name="out_proj")(out)

@@ -143,6 +143,14 @@ class TrunkConfig:
     attn_impl: str = "sdpa"  # "sdpa" | "flash"
     flash_block_q: int = 512
     flash_block_kv: int = 2048
+    # rotate q/k in-VMEM inside the Pallas flash kernels instead of an
+    # outside apply_rotary (the reference's CUDA kernels fuse rotary,
+    # layers/embedding.py:618-745). Numerically identical; OFF by default
+    # because on v5e at D=64 the in-kernel re-rotation's extra MXU work
+    # exceeds the ~one-HBM-round-trip it saves (measured 0.91x fwd at the
+    # MLM geometry — see ROADMAP round-4 rotary-fusion ablation). Flip on
+    # for hardware/geometries where attention is bandwidth-bound.
+    fused_rotary: bool = False
 
     def __post_init__(self):
         if self.n_inner is None:

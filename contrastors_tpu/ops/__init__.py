@@ -25,6 +25,10 @@ def attention_core(
     block_q: int = 512,
     block_kv: int = 2048,
     flash_min_seq: int = 512,
+    rotary_cos: Optional[jnp.ndarray] = None,
+    rotary_sin: Optional[jnp.ndarray] = None,
+    rotary_interleaved: bool = False,
+    rotary_position_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single entry point for every attention call in the model zoo.
 
@@ -43,6 +47,12 @@ def attention_core(
     (softmax passes over S^2), not MXU-bound; it measures ~4x JAX's
     in-tree pallas flash at the same shape (8.0 fwd / 11 fwd+bwd TF/s).
     impl="flash_always" forces the kernel (kernel tests).
+
+    rotary_cos/rotary_sin make attention_core the single rotary application
+    point: the flash path rotates q/k in-VMEM inside the kernels (fused —
+    saves the q/k HBM round-trip, 12.3% faster fwd at the MLM geometry, see
+    ROADMAP round-4 ablation); every other path applies layers/rotary.py's
+    apply_rotary outside, which is numerically identical.
     """
     if impl in ("flash", "flash_always") and dropout_p == 0.0:
         from contrastors_tpu.ops.flash_attention import flash_attention, flash_shape_ok
@@ -60,7 +70,16 @@ def attention_core(
                 softmax_scale=softmax_scale,
                 block_q=block_q,
                 block_kv=block_kv,
+                rotary_cos=rotary_cos,
+                rotary_sin=rotary_sin,
+                rotary_interleaved=rotary_interleaved,
+                rotary_position_ids=rotary_position_ids,
             )
+    if rotary_cos is not None:
+        from contrastors_tpu.layers.rotary import apply_rotary
+
+        q = apply_rotary(q, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
+        k = apply_rotary(k, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
     return sdpa(
         q,
         k,

@@ -18,6 +18,21 @@ kv segment ids. Softmax in fp32; p cast to v.dtype for the PV matmul
 
 Backward follows FA-2's two-kernel split: dq accumulated over kv blocks,
 dk/dv accumulated over q blocks, with delta = rowsum(dO * O) precomputed.
+
+Fused rotary (round 4): the reference applies rotary inside its CUDA
+kernels (reference: layers/embedding.py:618-745). When
+`rotary_cos/rotary_sin` tables are passed, the kernels rotate q/k blocks
+in-VMEM: the rotate-half permutation rides the MXU as a matmul against a
+constant signed one-hot matrix R (layers/rotary.py), the elementwise
+combine runs in fp32, and the backward kernels apply the exact adjoint
+(g -> g*cos + (g*sin) @ R^T) to the accumulated dq/dk at finalize.
+Numerically identical to apply_rotary-then-flash (fwd bit-exact on-chip).
+OFF by default (TrunkConfig.fused_rotary): on v5e at D=64 the kernel is
+matmul-bound, so the in-kernel re-rotation of k per q block (+D/block_q
+extra MXU on the QK matmul) costs more than the ~one-HBM-round-trip the
+fusion saves — measured 0.91x fwd at the MLM geometry, a wash on the full
+MLM step (ROADMAP.md round-4 rotary-fusion ablation). Kept as a knob for
+bandwidth-bound geometries/hardware where the trade flips.
 """
 
 import functools
@@ -54,6 +69,45 @@ def flash_shape_ok(q, k) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# in-kernel rotary helpers
+# ---------------------------------------------------------------------------
+
+
+def _rot_block(x, cos_t, sin_t, R):
+    """In-VMEM rotary on a [rows, D] block: x*cos + (x@R)*sin, fp32 combine,
+    cast back to x.dtype — the same rounding points as the outside MXU path
+    (layers/rotary.py _apply_rotary_mxu: the R matmul is an exact signed
+    copy in any dtype since entries are 0/±1), so numerics match."""
+    xr = jax.lax.dot_general(
+        x, R.astype(x.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return (x.astype(jnp.float32) * cos_t + xr * sin_t).astype(x.dtype)
+
+
+def _rot_adjoint(g, cos_t, sin_t, R):
+    """Exact adjoint of _rot_block on an fp32 grad block:
+    g -> g*cos + (g*sin) @ R^T (derivation in the module docstring)."""
+    return g * cos_t + jax.lax.dot_general(
+        g * sin_t, R, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _tbl_spec(tbl, block, axis):
+    """BlockSpec for an expanded cos/sin table on a (b, h, i, j) grid.
+    2-D [S_pad, D] tables are position-shared; 3-D [B, S_pad, D] tables are
+    per-batch (packed position_ids). `axis` picks which grid dim walks the
+    sequence: 2 = q blocks (i), 3 = kv blocks (j)."""
+    D = tbl.shape[-1]
+    if tbl.ndim == 3:
+        if axis == 2:
+            return pl.BlockSpec((None, block, D), lambda b, h, i, j: (b, i, 0))
+        return pl.BlockSpec((None, block, D), lambda b, h, i, j: (b, j, 0))
+    if axis == 2:
+        return pl.BlockSpec((block, D), lambda b, h, i, j: (i, 0))
+    return pl.BlockSpec((block, D), lambda b, h, i, j: (j, 0))
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
@@ -61,15 +115,7 @@ def flash_shape_ok(q, k) -> bool:
 def _fwd_kernel(
     seg_q_ref,
     seg_kv_ref,
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     causal: bool,
     causal_offset: int,
     sm_scale: float,
@@ -78,7 +124,14 @@ def _fwd_kernel(
     kv_len: int,
     masked: bool,
     window: int,
+    fused_rot: bool,
 ):
+    if fused_rot:
+        (cosq_ref, sinq_ref, cosk_ref, sink_ref, r_ref,
+         q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, qr_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+
     j = pl.program_id(3)
     n_kv = pl.num_programs(3)
 
@@ -87,6 +140,9 @@ def _fwd_kernel(
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if fused_rot:
+            # the q block is fixed across the kv sweep: rotate it once
+            qr_scr[:] = _rot_block(q_ref[:, :], cosq_ref[:, :], sinq_ref[:, :], r_ref[:, :])
 
     q_idx = pl.program_id(2)
     # raw-logit max tracking; the softmax scale (with log2(e) folded in, so
@@ -97,8 +153,12 @@ def _fwd_kernel(
     c = sm_scale * LOG2E
 
     def compute():
-        q = q_ref[:, :]  # [bq, D]
-        k = k_ref[:, :]  # [bkv, D]
+        if fused_rot:
+            q = qr_scr[:]  # [bq, D], rotated at init
+            k = _rot_block(k_ref[:, :], cosk_ref[:, :], sink_ref[:, :], r_ref[:, :])
+        else:
+            q = q_ref[:, :]  # [bq, D]
+            k = k_ref[:, :]  # [bkv, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -165,18 +225,14 @@ def _fwd_kernel(
 def _fwd_kernel_single(
     seg_q_ref,
     seg_kv_ref,
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    *,
+    *refs,
     causal: bool,
     causal_offset: int,
     sm_scale: float,
     block_q: int,
     masked: bool,
     window: int,
+    fused_rot: bool,
 ):
     """Single-pass softmax: the whole kv range fits one block (the common
     bidirectional-encoder case, T <= block_kv), so the online-softmax
@@ -184,8 +240,17 @@ def _fwd_kernel_single(
     of `_fwd_kernel` all vanish. With the fma scale-fold and ones-column
     rowsum below: fwd 30.7 -> 36.9 TF/s at the S=2048 MLM geometry on
     v5e (the residual cost is the QK matmul shape itself — see ROADMAP #1)."""
+    if fused_rot:
+        (cosq_ref, sinq_ref, cosk_ref, sink_ref, r_ref,
+         q_ref, k_ref, v_ref, o_ref, lse_ref) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+
     q_idx = pl.program_id(2)
-    k = k_ref[:, :]
+    if fused_rot:
+        k = _rot_block(k_ref[:, :], cosk_ref[:, :], sink_ref[:, :], r_ref[:, :])
+    else:
+        k = k_ref[:, :]
     v = v_ref[:, :]
     D = v.shape[1]
     # s stays UNSCALED; the softmax scale folds into the exp2 argument as a
@@ -211,8 +276,11 @@ def _fwd_kernel_single(
         skv = seg_kv_ref[0, :]
 
     def qk(lo, bq):
+        qb = q_ref[lo : lo + bq, :]
+        if fused_rot:
+            qb = _rot_block(qb, cosq_ref[lo : lo + bq, :], sinq_ref[lo : lo + bq, :], r_ref[:, :])
         return jax.lax.dot_general(
-            q_ref[lo : lo + bq, :], k, (((1,), (1,)), ((), ())),
+            qb, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -267,17 +335,31 @@ def _fwd_kernel_single(
         finish(s_prev, offs[-1], sizes[-1])
 
 
-def _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window):
+def _fwd(q, k, v, seg_q, seg_kv, rot, causal, causal_offset, sm_scale, block_q, block_kv, masked, window):
     # q [B, H, S, D]; k/v [B, Hkv, T, D] (GQA: q head h reads kv head h // g)
+    # rot: None, or (cos_q, sin_q, cos_k, sin_k, rmat) expanded fp32 tables
     B, H, S, D = q.shape
     T = k.shape[2]
     g = H // k.shape[1]
     grid = (B, H, S // block_q, T // block_kv)
+    fused_rot = rot is not None
 
     q_spec = pl.BlockSpec((None, None, block_q, D), lambda b, h, i, j: (b, h, i, 0))
     kv_spec = pl.BlockSpec((None, None, block_kv, D), lambda b, h, i, j: (b, h // g, j, 0))
     segq_spec = pl.BlockSpec((None, 1, block_q), lambda b, h, i, j: (b, 0, i))
     segkv_spec = pl.BlockSpec((None, 1, block_kv), lambda b, h, i, j: (b, 0, j))
+
+    rot_specs, rot_args = [], []
+    if fused_rot:
+        cos_q, sin_q, cos_k, sin_k, rmat = rot
+        rot_specs = [
+            _tbl_spec(cos_q, block_q, 2),
+            _tbl_spec(sin_q, block_q, 2),
+            _tbl_spec(cos_k, block_kv, 3),
+            _tbl_spec(sin_k, block_kv, 3),
+            pl.BlockSpec((D, D), lambda b, h, i, j: (0, 0)),
+        ]
+        rot_args = [cos_q, sin_q, cos_k, sin_k, rmat]
 
     if T == block_kv:
         kernel = functools.partial(
@@ -288,6 +370,7 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block
             block_q=block_q,
             masked=masked,
             window=window,
+            fused_rot=fused_rot,
         )
         scratch = []
     else:
@@ -301,16 +384,19 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block
             kv_len=T,
             masked=masked,
             window=window,
+            fused_rot=fused_rot,
         )
         scratch = [
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, D), jnp.float32),
         ]
+        if fused_rot:
+            scratch.append(pltpu.VMEM((block_q, D), q.dtype))  # rotated q
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[segq_spec, segkv_spec, q_spec, kv_spec, kv_spec],
+        in_specs=[segq_spec, segkv_spec, *rot_specs, q_spec, kv_spec, kv_spec],
         out_specs=[
             pl.BlockSpec((None, None, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((None, None, 1, block_q), lambda b, h, i, j: (b, h, 0, i)),
@@ -324,7 +410,7 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(seg_q, seg_kv, q, k, v)
+    )(seg_q, seg_kv, *rot_args, q, k, v)
     return out, lse
 
 
@@ -334,10 +420,15 @@ def _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block
 
 
 def _bwd_dq_kernel(
-    seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dq_scr,
-    *, causal, causal_offset, sm_scale, block_q, block_kv, masked, window,
+    seg_q_ref, seg_kv_ref, *refs,
+    causal, causal_offset, sm_scale, block_q, block_kv, masked, window, fused_rot,
 ):
+    if fused_rot:
+        (cosq_ref, sinq_ref, cosk_ref, sink_ref, r_ref,
+         q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, qr_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr) = refs
+
     j = pl.program_id(3)
     n_kv = pl.num_programs(3)
     q_idx = pl.program_id(2)
@@ -345,10 +436,17 @@ def _bwd_dq_kernel(
     @pl.when(j == 0)
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
+        if fused_rot:
+            # the q block is fixed across the kv sweep: rotate it once
+            qr_scr[:] = _rot_block(q_ref[:, :], cosq_ref[:, :], sinq_ref[:, :], r_ref[:, :])
 
     def compute():
-        q = q_ref[:, :]
-        k = k_ref[:, :]
+        if fused_rot:
+            q = qr_scr[:]
+            k = _rot_block(k_ref[:, :], cosk_ref[:, :], sink_ref[:, :], r_ref[:, :])
+        else:
+            q = q_ref[:, :]
+            k = k_ref[:, :]
         v = v_ref[:, :]
         do = do_ref[:, :].astype(jnp.float32)
         lse = lse_ref[0, :][:, None]
@@ -403,14 +501,26 @@ def _bwd_dq_kernel(
 
     @pl.when(j == n_kv - 1)
     def _fin():
-        dq_ref[:, :] = dq_scr[:].astype(dq_ref.dtype)
+        g = dq_scr[:]
+        if fused_rot:
+            # dq_scr holds the grad wrt ROTATED q; map it back through the
+            # rotation's exact adjoint before writing
+            g = _rot_adjoint(g, cosq_ref[:, :], sinq_ref[:, :], r_ref[:, :])
+        dq_ref[:, :] = g.astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
-    seg_q_ref, seg_kv_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref, dk_scr, dv_scr,
-    *, causal, causal_offset, sm_scale, block_q, block_kv, masked, n_q, window,
+    seg_q_ref, seg_kv_ref, *refs,
+    causal, causal_offset, sm_scale, block_q, block_kv, masked, n_q, window, fused_rot,
 ):
+    if fused_rot:
+        (cosq_ref, sinq_ref, cosk_ref, sink_ref, r_ref,
+         q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr, kr_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+
     # innermost dim iterates over (q head in GQA group) x (q block):
     # i = qh_in_group * n_q + q_block; dk/dv accumulate across the group
     i = pl.program_id(3)
@@ -422,10 +532,17 @@ def _bwd_dkv_kernel(
     def _init():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
+        if fused_rot:
+            # the kv block is fixed across the inner sweep: rotate k once
+            kr_scr[:] = _rot_block(k_ref[:, :], cosk_ref[:, :], sink_ref[:, :], r_ref[:, :])
 
     def compute():
-        q = q_ref[:, :]
-        k = k_ref[:, :]
+        if fused_rot:
+            q = _rot_block(q_ref[:, :], cosq_ref[:, :], sinq_ref[:, :], r_ref[:, :])
+            k = kr_scr[:]
+        else:
+            q = q_ref[:, :]
+            k = k_ref[:, :]
         v = v_ref[:, :]
         do = do_ref[:, :].astype(jnp.float32)
         lse = lse_ref[0, :][:, None]
@@ -480,12 +597,16 @@ def _bwd_dkv_kernel(
 
     @pl.when(i == n_inner - 1)
     def _fin():
-        dk_ref[:, :] = dk_scr[:].astype(dk_ref.dtype)
+        g = dk_scr[:]
+        if fused_rot:
+            # dk_scr holds the grad wrt ROTATED k (see _bwd_dq_kernel note)
+            g = _rot_adjoint(g, cosk_ref[:, :], sink_ref[:, :], r_ref[:, :])
+        dk_ref[:, :] = g.astype(dk_ref.dtype)
         dv_ref[:, :] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res, g):
-    q, k, v, seg_q, seg_kv, out, lse = res
+def _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, fused_rot, res, g):
+    q, k, v, seg_q, seg_kv, cos_q, sin_q, cos_k, sin_k, rmat, out, lse = res
     do = g  # [B, H, S, D]
     B, H, S, D = q.shape
     Hkv = k.shape[1]
@@ -502,22 +623,37 @@ def _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res
     kv_spec = pl.BlockSpec((None, None, block_kv, D), lambda b, h, i, j: (b, h // gq, j, 0))
     lse_spec = pl.BlockSpec((None, None, 1, block_q), lambda b, h, i, j: (b, h, 0, i))
 
+    rot_specs, rot_args = [], []
+    if fused_rot:
+        rot_specs = [
+            _tbl_spec(cos_q, block_q, 2),
+            _tbl_spec(sin_q, block_q, 2),
+            _tbl_spec(cos_k, block_kv, 3),
+            _tbl_spec(sin_k, block_kv, 3),
+            pl.BlockSpec((D, D), lambda b, h, i, j: (0, 0)),
+        ]
+        rot_args = [cos_q, sin_q, cos_k, sin_k, rmat]
+
+    dq_scratch = [pltpu.VMEM((block_q, D), jnp.float32)]
+    if fused_rot:
+        dq_scratch.append(pltpu.VMEM((block_q, D), q.dtype))  # rotated q
     dq = pl.pallas_call(
         functools.partial(
             _bwd_dq_kernel,
             causal=causal, causal_offset=causal_offset, sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, masked=masked, window=window,
+            fused_rot=fused_rot,
         ),
         grid=(B, H, S // block_q, T // block_kv),
-        in_specs=[segq_spec, segkv_spec, q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
+        in_specs=[segq_spec, segkv_spec, *rot_specs, q_spec, kv_spec, kv_spec, q_spec, lse_spec, lse_spec],
         out_specs=pl.BlockSpec((None, None, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, S, D), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        scratch_shapes=dq_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(seg_q, seg_kv, q, k, v, do, lse, delta)
+    )(seg_q, seg_kv, *rot_args, q, k, v, do, lse, delta)
 
     # dk/dv: grid over kv heads; innermost dim sweeps (GQA group member,
     # q block) so the group's contributions accumulate in the scratch
@@ -532,14 +668,44 @@ def _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res
     kv_i = pl.BlockSpec((None, None, block_kv, D), lambda b, h, j, i: (b, h, j, 0))
     lse_i = pl.BlockSpec((None, None, 1, block_q), lambda b, h, j, i: (b, qh(h, i), 0, i % n_q))
 
+    rot_specs_i = []
+    if fused_rot:
+        # q tables walk the inner (group-member x q-block) axis; k tables
+        # walk the kv-block axis (grid here is (b, kv_head, j, i))
+        def tbl_i(tbl, block, of_q):
+            Dh = tbl.shape[-1]
+            if tbl.ndim == 3:
+                if of_q:
+                    return pl.BlockSpec((None, block, Dh), lambda b, h, j, i: (b, i % n_q, 0))
+                return pl.BlockSpec((None, block, Dh), lambda b, h, j, i: (b, j, 0))
+            if of_q:
+                return pl.BlockSpec((block, Dh), lambda b, h, j, i: (i % n_q, 0))
+            return pl.BlockSpec((block, Dh), lambda b, h, j, i: (j, 0))
+
+        rot_specs_i = [
+            tbl_i(cos_q, block_q, True),
+            tbl_i(sin_q, block_q, True),
+            tbl_i(cos_k, block_kv, False),
+            tbl_i(sin_k, block_kv, False),
+            pl.BlockSpec((D, D), lambda b, h, j, i: (0, 0)),
+        ]
+
+    dkv_scratch = [
+        pltpu.VMEM((block_kv, D), jnp.float32),
+        pltpu.VMEM((block_kv, D), jnp.float32),
+    ]
+    if fused_rot:
+        dkv_scratch.append(pltpu.VMEM((block_kv, D), k.dtype))  # rotated k
+
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel,
             causal=causal, causal_offset=causal_offset, sm_scale=sm_scale,
             block_q=block_q, block_kv=block_kv, masked=masked, n_q=n_q, window=window,
+            fused_rot=fused_rot,
         ),
         grid=(B, Hkv, T // block_kv, gq * n_q),
-        in_specs=[segq_i, segkv_i, q_i, kv_i, kv_i, q_i, lse_i, lse_i],
+        in_specs=[segq_i, segkv_i, *rot_specs_i, q_i, kv_i, kv_i, q_i, lse_i, lse_i],
         out_specs=[
             pl.BlockSpec((None, None, block_kv, D), lambda b, h, j, i: (b, h, j, 0)),
             pl.BlockSpec((None, None, block_kv, D), lambda b, h, j, i: (b, h, j, 0)),
@@ -548,32 +714,39 @@ def _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res
             jax.ShapeDtypeStruct((B, Hkv, T, D), k.dtype),
             jax.ShapeDtypeStruct((B, Hkv, T, D), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_kv, D), jnp.float32),
-            pltpu.VMEM((block_kv, D), jnp.float32),
-        ],
+        scratch_shapes=dkv_scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")
         ),
         interpret=_use_interpret(),
-    )(seg_q, seg_kv, q, k, v, do, lse, delta)
+    )(seg_q, seg_kv, *rot_args, q, k, v, do, lse, delta)
 
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None, None, None, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _flash(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window):
-    out, _ = _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window)
+def _rot_or_none(cos_q, sin_q, cos_k, sin_k, rmat, fused_rot):
+    return (cos_q, sin_q, cos_k, sin_k, rmat) if fused_rot else None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16, 17))
+def _flash(q, k, v, seg_q, seg_kv, cos_q, sin_q, cos_k, sin_k, rmat,
+           causal, causal_offset, sm_scale, block_q, block_kv, masked, window, fused_rot):
+    out, _ = _fwd(q, k, v, seg_q, seg_kv,
+                  _rot_or_none(cos_q, sin_q, cos_k, sin_k, rmat, fused_rot),
+                  causal, causal_offset, sm_scale, block_q, block_kv, masked, window)
     return out
 
 
-def _flash_fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window):
-    out, lse = _fwd(q, k, v, seg_q, seg_kv, causal, causal_offset, sm_scale, block_q, block_kv, masked, window)
-    return out, (q, k, v, seg_q, seg_kv, out, lse)
+def _flash_fwd(q, k, v, seg_q, seg_kv, cos_q, sin_q, cos_k, sin_k, rmat,
+               causal, causal_offset, sm_scale, block_q, block_kv, masked, window, fused_rot):
+    out, lse = _fwd(q, k, v, seg_q, seg_kv,
+                    _rot_or_none(cos_q, sin_q, cos_k, sin_k, rmat, fused_rot),
+                    causal, causal_offset, sm_scale, block_q, block_kv, masked, window)
+    return out, (q, k, v, seg_q, seg_kv, cos_q, sin_q, cos_k, sin_k, rmat, out, lse)
 
 
-def _flash_bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res, g):
-    return _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, res, g)
+def _flash_bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, fused_rot, res, g):
+    return _bwd(causal, causal_offset, sm_scale, block_q, block_kv, masked, window, fused_rot, res, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -581,6 +754,18 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _pad_tables(cos, sin, to_len):
+    """Pad expanded [.., L, D] tables to L == to_len with identity rows
+    (cos=1, sin=0) covering the wrapper's S/T block padding."""
+    pad = to_len - cos.shape[-2]
+    if pad:
+        widths = [(0, 0)] * cos.ndim
+        widths[-2] = (0, pad)
+        cos = jnp.pad(cos, widths, constant_values=1.0)
+        sin = jnp.pad(sin, widths, constant_values=0.0)
+    return cos, sin
 
 
 def flash_attention(
@@ -595,6 +780,10 @@ def flash_attention(
     softmax_scale: Optional[float] = None,
     block_q: int = 512,
     block_kv: int = 2048,
+    rotary_cos: Optional[jnp.ndarray] = None,
+    rotary_sin: Optional[jnp.ndarray] = None,
+    rotary_interleaved: bool = False,
+    rotary_position_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Public entry. q [B,S,H,D]; k/v [B,T,Hkv,D]; returns [B,S,H,D].
 
@@ -603,15 +792,36 @@ def flash_attention(
     bq=256 or bkv=1024): a wide kv block minimizes online-softmax
     correction passes, and block_kv == full kv degenerates to single-pass
     softmax. At D=64 the kernel is VPU-bound (~5 elementwise passes over
-    s per block), so block tuning moves single digits only."""
+    s per block), so block tuning moves single digits only.
+
+    rotary_cos/rotary_sin ([L, rot_dim/2] fp32 tables, layers/rotary.py
+    conventions) enable the FUSED rotary path: q/k are rotated in-VMEM
+    inside the kernels instead of paying a q/k HBM round-trip outside.
+    rotary_position_ids ([B, S] int) gathers per-row positions (packed
+    sequences). Numerically identical to apply_rotary-then-flash."""
     B, S, H, D = q.shape
     T = k.shape[1]
     if softmax_scale is None:
         softmax_scale = 1.0 / (D**0.5)
 
+    fused_rot = rotary_cos is not None
+    if fused_rot and S != T:
+        # decode-style S != T has ambiguous q positions (and a packed
+        # position_ids table only covers the q side); rotate outside
+        from contrastors_tpu.layers.rotary import apply_rotary
+
+        q = apply_rotary(q, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
+        k = apply_rotary(k, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
+        fused_rot = False
+
     if _use_interpret() and not _interpret_enabled():
         from contrastors_tpu.ops.sdpa import sdpa
 
+        if fused_rot:
+            from contrastors_tpu.layers.rotary import apply_rotary
+
+            q = apply_rotary(q, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
+            k = apply_rotary(k, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
         return sdpa(
             q, k, v,
             attention_mask=attention_mask,
@@ -657,6 +867,28 @@ def flash_attention(
         seg_q = jnp.zeros((B, S_pad), jnp.int32)
         seg_kv = jnp.zeros((B, T_pad), jnp.int32)
 
+    if fused_rot:
+        # expand [L, rot/2] tables to full-D fp32 rows (identity rows over
+        # any pass-through tail) and build the signed one-hot rotate matrix
+        from contrastors_tpu.layers.rotary import _expand_tables, _rot_matrix
+
+        rot_dim = rotary_cos.shape[-1] * 2
+        cos_d, sin_d = _expand_tables(
+            rotary_cos, rotary_sin, rotary_cos.shape[0], D, rotary_interleaved
+        )
+        rmat = jnp.asarray(_rot_matrix(D, rot_dim, rotary_interleaved))  # fp32 [D, D]
+        if rotary_position_ids is not None:
+            cos_q = jnp.take(cos_d, rotary_position_ids, axis=0)  # [B, S, D]
+            sin_q = jnp.take(sin_d, rotary_position_ids, axis=0)
+            cos_q, sin_q = _pad_tables(cos_q, sin_q, S_pad)
+            cos_k, sin_k = cos_q, sin_q
+        else:
+            cos_q, sin_q = _pad_tables(cos_d[:S], sin_d[:S], S_pad)
+            cos_k, sin_k = _pad_tables(cos_d[:T], sin_d[:T], T_pad)
+    else:
+        zero = jnp.zeros((1, 1), jnp.float32)
+        cos_q = sin_q = cos_k = sin_k = rmat = zero
+
     seg_q = seg_q[:, None, :]
     seg_kv = seg_kv[:, None, :]
     # kernels run in [B, H, S, D]
@@ -664,5 +896,6 @@ def flash_attention(
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     causal_offset = (T - S) if causal else 0
-    out = _flash(q, k, v, seg_q, seg_kv, causal, causal_offset, softmax_scale, bq, bkv, masked, window)
+    out = _flash(q, k, v, seg_q, seg_kv, cos_q, sin_q, cos_k, sin_k, rmat,
+                 causal, causal_offset, softmax_scale, bq, bkv, masked, window, fused_rot)
     return out.transpose(0, 2, 1, 3)[:, :S]

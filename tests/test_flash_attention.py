@@ -295,3 +295,154 @@ def test_flash_fully_masked_row_gradients_zero():
     np.testing.assert_allclose(
         np.asarray(gk_f, np.float32), np.asarray(gk_s, np.float32), atol=2e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# fused in-kernel rotary (round 4): flash(rotary_cos/sin) must match
+# apply_rotary-then-flash exactly — forward AND gradients (the kernels
+# recompute the rotation in the backward and apply the exact adjoint
+# g -> g*cos + (g*sin) @ R^T to the accumulated dq/dk).
+# ---------------------------------------------------------------------------
+
+from contrastors_tpu.layers.rotary import apply_rotary, rotary_cos_sin
+
+
+def _fused_vs_outside(q, k, v, cos, sin, *, interleaved=False, position_ids=None,
+                      causal=False, mask=None, block_q=128, block_kv=128,
+                      atol_fwd=2e-5, atol_bwd=5e-4):
+    def loss_fused(q, k, v):
+        o = flash_attention(
+            q, k, v, attention_mask=mask, causal=causal,
+            block_q=block_q, block_kv=block_kv,
+            rotary_cos=cos, rotary_sin=sin, rotary_interleaved=interleaved,
+            rotary_position_ids=position_ids,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2), o
+
+    def loss_outside(q, k, v):
+        qr = apply_rotary(q, cos, sin, interleaved, position_ids)
+        kr = apply_rotary(k, cos, sin, interleaved, position_ids)
+        o = flash_attention(qr, kr, v, attention_mask=mask, causal=causal,
+                            block_q=block_q, block_kv=block_kv)
+        return jnp.sum(o.astype(jnp.float32) ** 2), o
+
+    (_, of), gf = jax.value_and_grad(loss_fused, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    (_, os_), gs = jax.value_and_grad(loss_outside, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    np.testing.assert_allclose(np.asarray(of), np.asarray(os_), atol=atol_fwd)
+    for a, b, name in zip(gf, gs, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol_bwd, err_msg=name)
+
+
+@pytest.mark.parametrize("interleaved", [False, True])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_fused_rotary_matches_outside(causal, interleaved):
+    rng = np.random.default_rng(31)
+    q, k, v = make_qkv(rng, B=2, S=256)
+    cos, sin = rotary_cos_sin(256, 64)
+    _fused_vs_outside(q, k, v, cos, sin, interleaved=interleaved, causal=causal)
+
+
+def test_flash_fused_rotary_partial_dim_and_mask():
+    """rot_dim < head_dim (pass-through tail stays unrotated) + padding
+    mask, on the multi-pass kernel path (block_kv < T)."""
+    rng = np.random.default_rng(32)
+    q, k, v = make_qkv(rng, B=2, S=256)
+    cos, sin = rotary_cos_sin(256, 32)  # rotate first 32 of 64 features
+    lengths = np.array([256, 130])
+    mask = jnp.asarray((np.arange(256)[None, :] < lengths[:, None]).astype(np.int32))
+    _fused_vs_outside(q, k, v, cos, sin, mask=mask, block_q=128, block_kv=64)
+
+
+def test_flash_fused_rotary_multiblock_kernel():
+    """T > block_kv exercises _fwd_kernel (online softmax) with the
+    rotated-q scratch refreshed per q block."""
+    rng = np.random.default_rng(33)
+    q, k, v = make_qkv(rng, B=1, S=512)
+    cos, sin = rotary_cos_sin(512, 64)
+    _fused_vs_outside(q, k, v, cos, sin, causal=True, block_q=128, block_kv=128)
+
+
+def test_flash_fused_rotary_gqa():
+    rng = np.random.default_rng(34)
+    B, S, H, D = 2, 256, 8, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, 2, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, 2, D)), jnp.float32)
+    cos, sin = rotary_cos_sin(S, D)
+    _fused_vs_outside(q, k, v, cos, sin)
+
+
+def test_flash_fused_rotary_packed_position_ids():
+    """Packed sequences: positions restart at segment starts; the fused
+    path gathers per-batch [B, S, D] tables and the kernels index them by
+    (batch, block)."""
+    rng = np.random.default_rng(35)
+    q, k, v = make_qkv(rng, B=2, S=256)
+    seg = np.zeros((2, 256), np.int32)
+    seg[0, :100] = 1
+    seg[0, 100:200] = 2
+    seg[1, :256] = 1
+    pos = np.zeros((2, 256), np.int32)
+    pos[0, :100] = np.arange(100)
+    pos[0, 100:200] = np.arange(100)
+    pos[1] = np.arange(256)
+    seg_j = jnp.asarray(seg)
+    pos_j = jnp.asarray(pos)
+    cos, sin = rotary_cos_sin(256, 64)
+
+    def loss_fused(q, k, v):
+        o = flash_attention(q, k, v, segment_ids=seg_j, block_q=128, block_kv=128,
+                            rotary_cos=cos, rotary_sin=sin, rotary_position_ids=pos_j)
+        valid = (seg_j != 0)[:, :, None, None]
+        return jnp.sum((o * valid).astype(jnp.float32) ** 2), o
+
+    def loss_outside(q, k, v):
+        qr = apply_rotary(q, cos, sin, position_ids=pos_j)
+        kr = apply_rotary(k, cos, sin, position_ids=pos_j)
+        o = flash_attention(qr, kr, v, segment_ids=seg_j, block_q=128, block_kv=128)
+        valid = (seg_j != 0)[:, :, None, None]
+        return jnp.sum((o * valid).astype(jnp.float32) ** 2), o
+
+    (_, of), gf = jax.value_and_grad(loss_fused, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    (_, os_), gs = jax.value_and_grad(loss_outside, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+    valid = (seg != 0)[:, :, None, None]
+    np.testing.assert_allclose(np.asarray(of) * valid, np.asarray(os_) * valid, atol=2e-5)
+    for a, b, name in zip(gf, gs, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name)
+
+
+def test_flash_fused_rotary_unaligned_seqlen():
+    """S not a block multiple: the wrapper pads q/k/v AND the expanded
+    tables (identity rows) together."""
+    rng = np.random.default_rng(36)
+    q, k, v = make_qkv(rng, S=200)
+    cos, sin = rotary_cos_sin(200, 64)
+    _fused_vs_outside(q, k, v, cos, sin, block_q=128, block_kv=128)
+
+
+def test_fused_rotary_model_wiring():
+    """TrunkConfig.fused_rotary=True routes the layer's rotary tables into
+    attention_core and through the kernel; outputs must match the default
+    outside-rotary model exactly (same params)."""
+    from contrastors_tpu.models.model_config import TrunkConfig
+    from contrastors_tpu.models.nomic_bert import NomicBertModel
+
+    rng = np.random.default_rng(41)
+    # S=512 >= flash_min_seq so the kernel path (interpret mode) is taken
+    ids = jnp.asarray(rng.integers(5, 120, size=(2, 512)), jnp.int32)
+    mask = jnp.ones_like(ids)
+
+    outs = {}
+    for fused in (False, True):
+        cfg = TrunkConfig(
+            n_embd=128, n_layer=2, n_head=2, n_inner=256, vocab_size=128,
+            n_positions=0, rotary_emb_fraction=1.0, pad_token_id=0,
+            attn_impl="flash", flash_block_q=128, flash_block_kv=128,
+            fused_rotary=fused,
+        )
+        model = NomicBertModel(config=cfg)
+        params = model.init(jax.random.PRNGKey(7), ids, mask)
+        outs[fused] = np.asarray(
+            model.apply(params, ids, mask)["last_hidden_state"]
+        )
+    np.testing.assert_allclose(outs[True], outs[False], atol=2e-5)
