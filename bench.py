@@ -136,6 +136,97 @@ def e2e_input_pipeline(chunk: int, per_chip_batch: int, n_chips: int, iters: int
     }
 
 
+def image_text_e2e(v_step, v_params, v_opt, Bv, n_chips, t_len, img_size, dt_synth, iters=3):
+    """LiT step throughput INCLUDING the image-text host pipeline: tar
+    shards -> JPEG decode -> random-resized-crop -> raw uint8 CHW ship ->
+    caption wordpiece tokenize, with PrefetchIterator overlapping host and
+    device work — the image-side counterpart of e2e_input_pipeline (the
+    reference's webdataset img_pipeline, image_text_loader.py:350-480).
+    Reuses the already-compiled synthetic v_step so the ratio isolates the
+    host pipeline + transfer cost."""
+    import io
+    import os
+    import tarfile
+    import tempfile
+
+    from PIL import Image
+    from transformers import BertTokenizerFast
+
+    from contrastors_tpu.data.image_text import ImageTextDataset
+    from contrastors_tpu.utils.prefetch import PrefetchIterator
+
+    tmp = tempfile.mkdtemp(prefix="bench_it_e2e_")
+    rng = np.random.default_rng(11)
+
+    vocab_path = os.path.join(tmp, "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + [f"word{i}" for i in range(30000)]))
+    tokenizer = BertTokenizerFast(vocab_file=vocab_path)
+
+    # realistic decode cost: 256x256 sources (LAION-scale), low-frequency
+    # content so the JPEGs compress like photos rather than noise
+    n_imgs = Bv * (iters + 2)
+    n_shards = 4
+    per_shard = (n_imgs + n_shards - 1) // n_shards
+    shard_dir = os.path.join(tmp, "shards")
+    os.makedirs(shard_dir)
+    idx = 0
+    for s in range(n_shards):
+        with tarfile.open(os.path.join(shard_dir, f"shard-{s:04d}.tar"), "w") as tf:
+            for _ in range(per_shard):
+                low = rng.integers(0, 255, size=(16, 16, 3), dtype=np.uint8)
+                im = Image.fromarray(low, "RGB").resize((256, 256), Image.BICUBIC)
+                buf = io.BytesIO()
+                im.save(buf, format="JPEG", quality=85)
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{idx:07d}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = " ".join(
+                    f"word{i}" for i in rng.integers(0, 30000, size=rng.integers(5, 15))
+                ).encode()
+                info = tarfile.TarInfo(f"{idx:07d}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+                idx += 1
+    pattern = os.path.join(shard_dir, "shard-{0000..%04d}.tar" % (n_shards - 1))
+
+    ds = ImageTextDataset(
+        pattern,
+        global_batch_size=Bv,
+        tokenizer=tokenizer,
+        image_size=img_size,
+        seq_len=t_len,
+        seed=0,
+        shuffle_buffer=64,
+        train_num_samples=n_imgs,
+        ship_uint8=True,  # the loader mode the grad-cache trainer uses
+    )
+    it = PrefetchIterator(iter(ds), depth=2)
+
+    def run(b, r):
+        nonlocal v_params, v_opt
+        vb = {"px": jnp.asarray(b["pixel_values"])}
+        tb = {"ids": jnp.asarray(b["input_ids"]), "mask": jnp.asarray(b["attention_mask"])}
+        v_params, v_opt, vl = v_step(v_params, v_opt, vb, tb, r)
+        return float(vl)
+
+    # warmup fills the prefetch queue; shapes match the synthetic step, so
+    # no recompile
+    for i in range(2):
+        run(next(it), jax.random.PRNGKey(100 + i))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        run(next(it), jax.random.PRNGKey(200 + i))
+    dt = (time.perf_counter() - t0) / iters
+    return {
+        "vision_e2e_images_per_sec_chip": round(Bv / dt / n_chips, 1),
+        "vision_e2e_step_ms": round(dt * 1000, 1),
+        "vision_e2e_vs_synthetic": round(dt_synth / dt, 3),
+        "vision_e2e_host_cores": os.cpu_count(),
+    }
+
+
 def main():
     import argparse
 
@@ -520,6 +611,16 @@ def main():
             "vision_mfu_hw_8pt": round(img_per_sec_chip * hw_flops_pair / 1e12 / peak_tflops, 3),
             "vision_loss": float(vl),
         }
+
+        # image-text e2e: the SAME LiT step fed by the real host pipeline
+        # (tar shards -> JPEG decode -> crop/resize -> uint8 ship ->
+        # caption tokenize), PrefetchIterator overlapping host and device —
+        # the image-side counterpart of the text e2e bench below
+        # (round-3 VERDICT next #5)
+        if not args.skip_e2e:
+            vision_detail.update(
+                image_text_e2e(v_step, v_params, v_opt, Bv, n_chips, t_len, img, dt_v)
+            )
 
     # -- secondary: end-to-end pairs/s through the real input pipeline ------
     e2e_detail = None

@@ -105,6 +105,7 @@ class ImageTextDataset:
         mean=None,
         std=None,
         mlm_prob: Optional[float] = None,
+        ship_uint8: bool = False,
     ):
         self.urls = expand_urls(shards)
         self.rank = process_index
@@ -125,7 +126,13 @@ class ImageTextDataset:
             kw["mean"] = mean
         if std is not None:
             kw["std"] = std
-        self.transform = image_transform(image_size, is_train=is_train, **kw)
+        # ship_uint8: pixels leave the host as raw uint8 CHW (4x smaller
+        # transfer, no host float/normalize pass); the trainer's grad-cache
+        # encoder normalizes on device per chunk (trainers/image_text.py)
+        self.ship_uint8 = ship_uint8
+        self.transform = image_transform(
+            image_size, is_train=is_train, ship_uint8=ship_uint8, **kw
+        )
         # fixed steps/epoch (reference with_epoch, image_text_loader.py:497-514)
         self.num_batches = (
             (train_num_samples // global_batch_size) if train_num_samples else None
@@ -197,8 +204,9 @@ class ImageTextDataset:
             self.shared_epoch.set(self.shared_epoch.epoch + 1)
 
     def _collate(self, batch: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
+        px_dtype = np.uint8 if self.ship_uint8 else np.float32
         out: Dict[str, np.ndarray] = {
-            "pixel_values": np.stack([s["pixel_values"] for s in batch]).astype(np.float32)
+            "pixel_values": np.stack([s["pixel_values"] for s in batch]).astype(px_dtype)
         }
         if self.precomputed_text and "text_embedding" in batch[0]:
             out["text_embeddings"] = np.stack([s["text_embedding"] for s in batch]).astype(

@@ -24,6 +24,14 @@ def _to_chw(img: Image.Image, mean, std) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
+def _to_chw_uint8(img: Image.Image) -> np.ndarray:
+    """Raw uint8 CHW — normalization happens ON DEVICE (trainer
+    _pixel_stats): 4x smaller host->device transfer and no host float
+    pass, the TPU counterpart of keeping pixels in the dataloader's
+    narrowest dtype."""
+    return np.asarray(img.convert("RGB"), dtype=np.uint8).transpose(2, 0, 1)
+
+
 def random_resized_crop(
     img: Image.Image,
     size: int,
@@ -80,16 +88,18 @@ def image_transform(
     scale: Tuple[float, float] = (0.9, 1.0),
     fill_color: int = 0,
     seed: Optional[int] = None,
+    ship_uint8: bool = False,
 ) -> Callable[[Image.Image], np.ndarray]:
     size = image_size if isinstance(image_size, int) else image_size[0]
     rng = random.Random(seed) if seed is not None else None
+    finish = _to_chw_uint8 if ship_uint8 else (lambda img: _to_chw(img, mean, std))
 
     def train_fn(img: Image.Image) -> np.ndarray:
-        return _to_chw(random_resized_crop(img, size, scale=scale, rng=rng), mean, std)
+        return finish(random_resized_crop(img, size, scale=scale, rng=rng))
 
     def val_fn(img: Image.Image) -> np.ndarray:
         if resize_longest_max:
-            return _to_chw(resize_max_letterbox(img, size, fill_color), mean, std)
-        return _to_chw(center_crop_resize(img, size), mean, std)
+            return finish(resize_max_letterbox(img, size, fill_color))
+        return finish(center_crop_resize(img, size))
 
     return train_fn if is_train else val_fn

@@ -97,6 +97,9 @@ class ImageTextTrainer(BaseTrainer):
             mean=mean,
             std=std,
             mlm_prob=getattr(dargs, "mlm_prob", None),
+            # grad-cache steps normalize uint8 pixels on device per chunk;
+            # ship them raw (4x smaller host->device transfer at 16k batch)
+            ship_uint8=bool(self.config.train_args.grad_cache),
         )
         steps = ds.num_batches or (dargs.train_num_samples or 10**9) // dargs.batch_size
         return ds, steps

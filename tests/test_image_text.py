@@ -717,3 +717,41 @@ def test_bundled_zeroshot_classnames():
     assert len(resolve_classnames({"name": "ImageNet 1k", "key": "imagenet1k"})) == 1000
     with pytest.raises(ValueError, match="no classnames"):
         resolve_classnames({"name": "Stanford Cars", "key": "cars"})
+
+
+def test_loader_ships_uint8_under_grad_cache(tmp_path):
+    """With grad_cache on, the train loader ships raw uint8 CHW pixels
+    (4x smaller host->device transfer; normalization runs on device per
+    chunk) and the step's loss matches the float-normalized pipeline;
+    without grad_cache the loader keeps the float32 contract."""
+    import jax
+    from contrastors_tpu.parallel import shard_batch
+    from contrastors_tpu.parallel.mesh import replicate
+    from contrastors_tpu.config import OPENAI_IMAGE_MEAN, OPENAI_IMAGE_STD
+
+    cfg = _lit_config(tmp_path, "u8loader", grad_cache=True, chunk_size=2)
+    tr = TRAINER_REGISTRY["locked_text"](cfg, "fp32")
+    arrays = next(iter(tr.dataloader))
+    arrays = {k: v for k, v in arrays.items() if isinstance(v, np.ndarray)}
+    assert arrays["pixel_values"].dtype == np.uint8
+
+    mean = np.asarray(OPENAI_IMAGE_MEAN, np.float32).reshape(1, 3, 1, 1)
+    std = np.asarray(OPENAI_IMAGE_STD, np.float32).reshape(1, 3, 1, 1)
+    as_float = (arrays["pixel_values"].astype(np.float32) / 255.0 - mean) / std
+
+    step = tr.make_train_step()
+    rng = jax.random.PRNGKey(9)
+    losses = {}
+    for name, px in (("u8", arrays["pixel_values"]), ("f32", as_float.astype(np.float32))):
+        with tr.mesh:
+            p = replicate(jax.device_get(tr.params), tr.mesh)
+            o = replicate(jax.device_get(tr.opt_state), tr.mesh)
+            batch = shard_batch(dict(arrays, pixel_values=px), tr.mesh)
+            _, _, metrics = step(p, o, batch, rng)
+            losses[name] = float(metrics["loss"])
+    np.testing.assert_allclose(losses["u8"], losses["f32"], rtol=1e-6)
+
+    cfg_plain = _lit_config(tmp_path / "pl", "f32loader")
+    tr_plain = TRAINER_REGISTRY["locked_text"](cfg_plain, "fp32")
+    plain = next(iter(tr_plain.dataloader))
+    assert plain["pixel_values"].dtype == np.float32
