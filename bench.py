@@ -259,6 +259,10 @@ def main():
     parser.add_argument("--skip_e2e", action="store_true")
     parser.add_argument("--vision_chunk", type=int, default=32)
     parser.add_argument("--vision_per_chip_batch", type=int, default=512)
+    parser.add_argument(
+        "--vision_direct", type=int, default=0,
+        help="leading image chunks kept remat-free (hybrid direct grad-cache)",
+    )
     # timing: median of --iters steps; r3 VERDICT weak #2 — 3 iterations
     # with no spread made a 2.5% delta indistinguishable from noise
     parser.add_argument("--iters", type=int, default=5)
@@ -581,6 +585,7 @@ def main():
                 v_loss_fn,
                 chunk_size=v_chunk, rng=rng, extra_params=params["logit_scale"],
                 d_trainable=False,
+                direct_chunks=args.vision_direct,
             )
             grads = {
                 "vision": g_img["vision"],
@@ -607,6 +612,7 @@ def main():
             "vision_step_ms": round(dt_v * 1000, 1),
             "vision_per_chip_batch": args.vision_per_chip_batch,
             "vision_chunk": v_chunk,
+            "vision_direct": args.vision_direct,
             "vision_params_m": round(n_vision / 1e6, 1),
             "vision_mfu_hw_8pt": round(img_per_sec_chip * hw_flops_pair / 1e12 / peak_tflops, 3),
             "vision_loss": float(vl),

@@ -159,6 +159,14 @@ class ImageTextTrainer(BaseTrainer):
         chunk = ta.chunk_size or 64
         precomputed = bool(text_args.precomputed)
         text_trainable = not (text_args.freeze or precomputed)
+        # hybrid direct chunks (exact; see grad_cache.py): leading image
+        # chunks keep live vjp activations and skip the pass-2 re-forward —
+        # the structural lever against the vision step's many-small-chunk
+        # launch overhead (ROADMAP round-4 vision decomposition). A direct
+        # text chunk is wasted HBM when the text tower is frozen (its vjp
+        # would be held but never consumed), so force it off there.
+        direct_q = getattr(ta, "grad_cache_direct_chunks_q", 0)  # image tower
+        direct_d = getattr(ta, "grad_cache_direct_chunks_d", 0) if text_trainable else 0
         trainable_scale = self.config.vision_model_args.trainable_logit_scale
         from contrastors_tpu.grad_cache import grad_cache_data_axis
 
@@ -215,6 +223,7 @@ class ImageTextTrainer(BaseTrainer):
                 chunk_size=divisor_chunk(chunk, rows), rng=rng,
                 d_trainable=text_trainable,
                 extra_params=params["params"]["logit_scale"],
+                direct_chunks=direct_q, direct_chunks_d=direct_d,
             )
             # the logit scale lives inside the dual params tree; its pass-2
             # grad is zero (the encoders never touch it) — add the

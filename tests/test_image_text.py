@@ -622,6 +622,42 @@ def test_image_text_grad_cache_uint8_pixels(tmp_path):
     np.testing.assert_allclose(losses["u8"], losses["f32"], rtol=1e-6)
 
 
+def test_image_text_grad_cache_direct_chunks_exact(tmp_path):
+    """Hybrid direct chunks in the image-text grad-cache step (leading
+    chunks keep live vjp activations, skip pass-2) are exact: loss and
+    grad norm match the all-pass-2 step bit-for-bit in structure."""
+    import jax
+    from contrastors_tpu.parallel import shard_batch
+    from contrastors_tpu.parallel.mesh import replicate
+
+    cfg0 = _lit_config(
+        tmp_path, "gc_d0", "clip", grad_cache=True, chunk_size=1,
+    )
+    cfg1 = _lit_config(
+        tmp_path / "d1", "gc_d1", "clip", grad_cache=True, chunk_size=1,
+        grad_cache_direct_chunks_q=1, grad_cache_direct_chunks_d=1,
+    )
+    arrays = None
+    rng = jax.random.PRNGKey(7)
+    results = {}
+    for name, cfg in (("d0", cfg0), ("d1", cfg1)):
+        tr = TRAINER_REGISTRY["clip"](cfg, "fp32")
+        if arrays is None:
+            arrays = next(iter(tr.dataloader))
+            arrays = {k: v for k, v in arrays.items() if isinstance(v, np.ndarray)}
+        step = tr.make_train_step()
+        with tr.mesh:
+            p = replicate(jax.device_get(tr.params), tr.mesh)
+            o = replicate(jax.device_get(tr.opt_state), tr.mesh)
+            batch = shard_batch(arrays, tr.mesh)
+            _, _, metrics = step(p, o, batch, rng)
+            results[name] = {k: float(v) for k, v in metrics.items()}
+    np.testing.assert_allclose(results["d1"]["loss"], results["d0"]["loss"], rtol=1e-6)
+    np.testing.assert_allclose(
+        results["d1"]["grad_norm"], results["d0"]["grad_norm"], rtol=1e-4
+    )
+
+
 def test_overlay_tower_strict(tmp_path):
     """A checkpoint key with no destination (or the wrong shape) must raise
     instead of silently leaving random init in place."""
