@@ -252,6 +252,10 @@ def main():
     # pairs/s; any 256-token document chunks OOM — a v5p-class HBM knob)
     parser.add_argument("--direct_q", type=int, default=-1, help="-1 = all query chunks")
     parser.add_argument("--direct_d", type=int, default=0)
+    parser.add_argument(
+        "--embed_parallel", type=int, default=1,
+        help="pass-1 super-chunking: m chunks vmapped per embed launch",
+    )
     parser.add_argument("--skip_mlm", action="store_true")
     parser.add_argument("--skip_infer", action="store_true")
     parser.add_argument("--infer_batch", type=int, default=256, help="texts/chip, inference encode")
@@ -263,6 +267,7 @@ def main():
         "--vision_direct", type=int, default=0,
         help="leading image chunks kept remat-free (hybrid direct grad-cache)",
     )
+    parser.add_argument("--vision_embed_parallel", type=int, default=1)
     # timing: median of --iters steps; r3 VERDICT weak #2 — 3 iterations
     # with no spread made a 2.5% delta indistinguishable from noise
     parser.add_argument("--iters", type=int, default=5)
@@ -317,6 +322,7 @@ def main():
             params["model"], qb, db, encode, encode, loss_fn,
             chunk_size=chunk, rng=rng, extra_params=params["logit_scale"],
             direct_chunks=direct_q, direct_chunks_d=args.direct_d,
+            embed_parallel=args.embed_parallel,
         )
         grads = {"model": g_model, "logit_scale": g_scale}
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -586,6 +592,7 @@ def main():
                 chunk_size=v_chunk, rng=rng, extra_params=params["logit_scale"],
                 d_trainable=False,
                 direct_chunks=args.vision_direct,
+                embed_parallel=args.vision_embed_parallel,
             )
             grads = {
                 "vision": g_img["vision"],
@@ -613,6 +620,7 @@ def main():
             "vision_per_chip_batch": args.vision_per_chip_batch,
             "vision_chunk": v_chunk,
             "vision_direct": args.vision_direct,
+            "vision_embed_parallel": args.vision_embed_parallel,
             "vision_params_m": round(n_vision / 1e6, 1),
             "vision_mfu_hw_8pt": round(img_per_sec_chip * hw_flops_pair / 1e12 / peak_tflops, 3),
             "vision_loss": float(vl),

@@ -68,6 +68,13 @@ class TrainArgs(_Base):
     # document chunks; on v5p there is room for documents too.
     grad_cache_direct_chunks_q: int = 0
     grad_cache_direct_chunks_d: int = 0
+    # TPU extension: pass-1 super-chunking — embed m pass-2-sized chunks
+    # per launch (vmapped, per-sub-chunk RNG keys so dropout replay stays
+    # exact for stochastic encoders). Measured a NET LOSS on v5e at both
+    # flagship geometries (headline 477 -> 430 pairs/s at m=4; vision
+    # 900 -> 1031 ms — pass 1 is not launch-bound there, see ROADMAP);
+    # keep 1 unless a profile on other hardware shows otherwise.
+    grad_cache_embed_parallel: int = 1
     clamp_logits: bool = True
     logit_max: float = 100.0
     add_l2_loss: bool = False

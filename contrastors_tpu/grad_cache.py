@@ -59,6 +59,8 @@ def grad_cache_loss_and_grads(
     chunk_size_d: Optional[int] = None,
     direct_chunks: int = 0,
     direct_chunks_d: Optional[int] = None,
+    embed_parallel: int = 1,
+    embed_parallel_d: Optional[int] = None,
     return_metrics: bool = False,
     loss_has_aux: bool = False,
 ) -> Tuple[jnp.ndarray, Any]:
@@ -90,6 +92,17 @@ def grad_cache_loss_and_grads(
     trades memory for the structural recompute: the direct fraction costs
     6*P*T instead of 8*P*T per pair. Gradients stay exact for any split
     (unit-tested). Requires router_aux_coef == 0 for the direct part.
+
+    embed_parallel / embed_parallel_d: pass-1 super-chunking — embed m
+    pass-2-sized chunks per lax.map step by vmapping the encoder over the
+    chunk dim, with each sub-chunk keeping ITS OWN fold_in(rng, i) key.
+    Pass 1 holds no vjp residuals, so its launches can be much larger than
+    pass 2's memory-bound replay chunks; this collapses the many small
+    kernel launches that dominate short-sequence towers (the vision-step
+    wall in ROADMAP's round-4 decomposition). Exact for any m, including
+    stochastic encoders: the per-sub-chunk keys mean pass 2 replays
+    identical dropout. m is clamped to the largest divisor of the tower's
+    chunk count.
     """
     if (direct_chunks or direct_chunks_d) and router_aux_coef:
         raise ValueError(
@@ -137,29 +150,50 @@ def grad_cache_loss_and_grads(
     d_cached_chunks = rest(d_chunks, k_d)
 
     # ---- pass 1: chunked no-grad embeddings (cached part) ------------------
-    def embed(encode, base_rng, offset):
+    def embed(encode, base_rng, offset, m):
         def one(i_and_chunk):
             i, chunk = i_and_chunk
             out = encode(params, chunk, jax.random.fold_in(base_rng, i))
             return out["embedding"]
 
+        def one_super(idx_and_group):
+            # [m] chunk indices + [m, c, ...] leaves -> [m, c', D] embeddings;
+            # vmap batches the tower's matmuls across the m sub-chunks while
+            # each sub-chunk keeps its own pass-2-replayable key
+            idx, group = idx_and_group
+            keys = jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(idx)
+            return jax.vmap(
+                lambda ch, k: encode(params, ch, k)["embedding"], in_axes=(0, 0)
+            )(group, keys)
+
         def run(chunks, n):
+            mm = max(1, min(int(m), n))
+            while n % mm:
+                mm -= 1
             idx = jnp.arange(n) + offset
-            return jax.lax.map(one, (idx, chunks))
+            if mm == 1:
+                return jax.lax.map(one, (idx, chunks))
+            grouped = jax.tree_util.tree_map(
+                lambda x: x.reshape(n // mm, mm, *x.shape[1:]), chunks
+            )
+            e = jax.lax.map(one_super, (idx.reshape(n // mm, mm), grouped))
+            return e.reshape(n, *e.shape[2:])  # [n, c', D]
 
         return run
 
-    def tower_embs(encode, base_rng, cached_chunks, k, n, direct):
+    def tower_embs(encode, base_rng, cached_chunks, k, n, direct, m):
         parts = []
         if direct is not None:
             parts.append(jax.lax.stop_gradient(direct))
         if n - k > 0:
-            e = embed(encode, base_rng, k)(cached_chunks, n - k)  # [n-k, c, D]
+            e = embed(encode, base_rng, k, m)(cached_chunks, n - k)  # [n-k, c, D]
             parts.append(jax.lax.stop_gradient(e).reshape(-1, e.shape[-1]))
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
-    q_embs = tower_embs(encode_q, rng_q, q_cached_chunks, k_q, n_q, q_direct)
-    d_embs = tower_embs(encode_d, rng_d, d_cached_chunks, k_d, n_d, d_direct)
+    m_q = embed_parallel
+    m_d = embed_parallel if embed_parallel_d is None else embed_parallel_d
+    q_embs = tower_embs(encode_q, rng_q, q_cached_chunks, k_q, n_q, q_direct, m_q)
+    d_embs = tower_embs(encode_d, rng_d, d_cached_chunks, k_d, n_d, d_direct, m_d)
 
     # ---- loss on full embeddings, grads wrt embeddings ---------------------
     extra_grads = None

@@ -167,6 +167,7 @@ class ImageTextTrainer(BaseTrainer):
         # would be held but never consumed), so force it off there.
         direct_q = getattr(ta, "grad_cache_direct_chunks_q", 0)  # image tower
         direct_d = getattr(ta, "grad_cache_direct_chunks_d", 0) if text_trainable else 0
+        embed_par = getattr(ta, "grad_cache_embed_parallel", 1)
         trainable_scale = self.config.vision_model_args.trainable_logit_scale
         from contrastors_tpu.grad_cache import grad_cache_data_axis
 
@@ -224,6 +225,7 @@ class ImageTextTrainer(BaseTrainer):
                 d_trainable=text_trainable,
                 extra_params=params["params"]["logit_scale"],
                 direct_chunks=direct_q, direct_chunks_d=direct_d,
+                embed_parallel=embed_par,
             )
             # the logit scale lives inside the dual params tree; its pass-2
             # grad is zero (the encoders never touch it) — add the

@@ -351,6 +351,7 @@ class TextTextTrainer(BaseTrainer):
             # surrogate; silently fall back to fully-cached for MoE towers
             direct_q = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_q", 0)
             direct_d = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_d", 0)
+            embed_par = getattr(ta, "grad_cache_embed_parallel", 1)
 
             # Sharding (SURVEY §7 hard part 8): the grad-cache chunk loop is a
             # sequential lax.map whose leading (chunk) dim GSPMD cannot
@@ -463,6 +464,7 @@ class TextTextTrainer(BaseTrainer):
                         router_aux_coef=aux_coef if use_moe else 0.0,
                         extra_params=params["logit_scale"],
                         direct_chunks=direct_q, direct_chunks_d=direct_d,
+                        embed_parallel=embed_par,
                         return_metrics=True, loss_has_aux=True,
                     )
                     loss, gc_metrics = _reduce(loss, gc_metrics)
@@ -485,6 +487,7 @@ class TextTextTrainer(BaseTrainer):
                         router_aux_coef=aux_coef if use_moe else 0.0,
                         extra_params=params["logit_scale"],
                         direct_chunks=direct_q, direct_chunks_d=direct_d,
+                        embed_parallel=embed_par,
                         return_metrics=True, loss_has_aux=True,
                     )
                     loss, gc_metrics = _reduce(loss, gc_metrics)

@@ -118,6 +118,50 @@ def test_grad_cache_hybrid_direct_matches_naive():
         )
 
 
+def test_grad_cache_embed_parallel_exact():
+    """Pass-1 super-chunking (embed_parallel: m chunks vmapped per launch,
+    one fold_in key per sub-chunk) leaves loss and grads identical to the
+    m=1 baseline — including for a STOCHASTIC encoder, because each
+    sub-chunk keeps the exact key pass 2 replays."""
+    model, params, encode, batch = _setup()
+
+    def stochastic_encode(p, b, rng_key):
+        out = encode(p, b, rng_key)
+        # rng-dependent multiplicative noise: any pass-1/pass-2 key
+        # mismatch (the dropout-replay hazard) breaks grad parity loudly
+        noise = 1.0 + 0.3 * jax.random.normal(rng_key, out["embedding"].shape)
+        emb = out["embedding"] * noise
+        return {"embedding": emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)}
+
+    def loss_fn(q, d):
+        return clip_loss(q, d, lambda x: x * 10.0)[0]
+
+    base = None
+    for enc in (encode, stochastic_encode):
+        for m, md in ((1, 1), (2, 2), (4, 1), (3, 2), (16, 16)):
+            loss, grads = jax.jit(
+                lambda p, m=m, md=md, enc=enc: grad_cache_loss_and_grads(
+                    p, batch, batch, enc, enc, loss_fn, chunk_size=4,
+                    rng=jax.random.PRNGKey(11),
+                    embed_parallel=m, embed_parallel_d=md,
+                )
+            )(params)
+            if m == 1 and md == 1:
+                base = (float(loss), grads)
+                continue
+            np.testing.assert_allclose(float(loss), base[0], rtol=1e-6)
+            for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(base[1]),
+                jax.tree_util.tree_leaves_with_path(grads),
+            ):
+                assert p1 == p2
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-6,
+                    err_msg=f"embed_parallel=({m},{md}) {enc.__name__} {p1}",
+                )
+        base = None
+
+
 def test_grad_cache_sharded_matches_global_naive():
     """GradCache under shard_map over 8 devices (embeddings gathered in the
     loss) == single-device full-batch gradients."""

@@ -312,7 +312,21 @@ def test_decoder_contrastive_trainer(tmp_path):
     last-token pooling, causal trunk) trains end-to-end."""
     tok_dir = make_checkpoint_dir(tmp_path)  # provides a local tokenizer
     ckpt = make_decoder_checkpoint_dir(tmp_path)
-    data = make_pairs_file(tmp_path, n=64)
+    # last-token pooling pools the appended [SEP]; with make_pairs_file's
+    # same-length same-multiset pairs a RANDOM decoder already places
+    # q_i == d_i (init loss ~1e-3, tripping the degenerate-init assert).
+    # Use a shifted-vocabulary mapping instead: q and d share NO tokens at
+    # init (loss starts near ln B) but the word{x} -> word{x+7} rule is
+    # learnable token-level structure, not arbitrary memorization.
+    f = tmp_path / "pairs_dec.jsonl"
+    rng = np.random.default_rng(1)
+    with open(f, "w") as fh:
+        for i in range(64):
+            w = rng.integers(0, 100, size=4)
+            q = " ".join(f"word{x}" for x in w)
+            d = " ".join(f"word{(x + 7) % 100}" for x in w[::-1])
+            fh.write(json.dumps({"query": q, "document": d}) + "\n")
+    data = str(f)
     out = str(tmp_path / "run_decoder")
     cfg = base_config(ckpt, data, out, num_epochs=2)
     cfg.model_args.tokenizer_name = tok_dir
