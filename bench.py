@@ -105,32 +105,57 @@ def e2e_input_pipeline(chunk: int, per_chip_batch: int, n_chips: int, iters: int
             attn_impl="flash", num_negatives=-1, add_prefix=False,
         ),
     )
-    trainer = TRAINER_REGISTRY["encoder"](cfg, "bf16")
-    step = trainer.make_train_step()
-    depth = trainer.config.parallel_args.prefetch
-    it = PrefetchIterator(iter(trainer.dataloader), depth=depth)
+    def run_pipeline(spec_path):
+        c = cfg.model_copy(deep=True)
+        c.data_args.input_shards = spec_path
+        trainer = TRAINER_REGISTRY["encoder"](c, "bf16")
+        step = trainer.make_train_step()
+        depth = trainer.config.parallel_args.prefetch
+        it = PrefetchIterator(iter(trainer.dataloader), depth=depth)
 
-    params, opt_state = trainer.params, trainer.opt_state
-    rng_key = jax.random.PRNGKey(0)
-    with trainer.mesh:
-        # warmup: compile + fill the prefetch queue
-        for _ in range(2):
-            hb = next(it)
-            arrays = {k: v for k, v in hb.items() if isinstance(v, np.ndarray)}
-            rng_key, sk = jax.random.split(rng_key)
-            params, opt_state, m = step(params, opt_state, shard_batch(arrays, trainer.mesh), sk)
-            _ = float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            hb = next(it)
-            arrays = {k: v for k, v in hb.items() if isinstance(v, np.ndarray)}
-            rng_key, sk = jax.random.split(rng_key)
-            params, opt_state, m = step(params, opt_state, shard_batch(arrays, trainer.mesh), sk)
-            _ = float(m["loss"])
-        dt = (time.perf_counter() - t0) / iters
+        params, opt_state = trainer.params, trainer.opt_state
+        rng_key = jax.random.PRNGKey(0)
+        with trainer.mesh:
+            # warmup: compile + fill the prefetch queue
+            for _ in range(2):
+                hb = next(it)
+                arrays = {k: v for k, v in hb.items() if isinstance(v, np.ndarray)}
+                rng_key, sk = jax.random.split(rng_key)
+                params, opt_state, m = step(params, opt_state, shard_batch(arrays, trainer.mesh), sk)
+                _ = float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                hb = next(it)
+                arrays = {k: v for k, v in hb.items() if isinstance(v, np.ndarray)}
+                rng_key, sk = jax.random.split(rng_key)
+                params, opt_state, m = step(params, opt_state, shard_batch(arrays, trainer.mesh), sk)
+                _ = float(m["loss"])
+            return (time.perf_counter() - t0) / iters, depth
+
+    dt, depth = run_pipeline(spec)
+
+    # pretokenized variant: same data through token-array shards (zero
+    # tokenizer work on the host — the structural fix for tokenization
+    # being ~98% of host cost; r3 VERDICT next #4)
+    import subprocess
+    import sys as _sys
+
+    pretok_dir = os.path.join(tmp, "pretok")
+    subprocess.run(
+        [
+            _sys.executable, "-m", "contrastors_tpu.scripts.pretokenize_pairs",
+            "--spec", spec, "--tokenizer", ckpt, "--out", pretok_dir,
+            "--query_max_length", "32", "--document_max_length", "256",
+        ],
+        check=True, capture_output=True, cwd="/root/repo",
+    )
+    dt_tok, _ = run_pipeline(os.path.join(pretok_dir, "spec.yaml"))
+
     return {
         "e2e_pairs_per_sec_chip": round(B / dt / n_chips, 2),
         "e2e_step_ms": round(dt * 1000, 1),
+        "e2e_pretok_pairs_per_sec_chip": round(B / dt_tok / n_chips, 2),
+        "e2e_pretok_step_ms": round(dt_tok * 1000, 1),
         "prefetch_depth": depth,
         "host_cores": os.cpu_count(),
     }
@@ -646,6 +671,9 @@ def main():
         e2e_detail["synthetic_pairs_per_sec_chip"] = round(pairs_per_sec_chip, 2)
         e2e_detail["e2e_vs_synthetic"] = round(
             e2e_detail["e2e_pairs_per_sec_chip"] / pairs_per_sec_chip, 3
+        )
+        e2e_detail["e2e_pretok_vs_synthetic"] = round(
+            e2e_detail["e2e_pretok_pairs_per_sec_chip"] / pairs_per_sec_chip, 3
         )
 
     result = {

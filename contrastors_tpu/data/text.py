@@ -496,13 +496,43 @@ class StreamingShardDataset:
                         sh[name[:-4]] = np.load(os.path.join(d, name), mmap_mode="r")
             except Exception as e:  # noqa: BLE001 — missing/corrupt shard
                 raise ShardReadError(f"cannot open token shard {url}: {e}") from e
-            if self.num_negatives >= 0:
+            # the negatives-count contract only exists for objectives WITH a
+            # negatives column; a paired/self dataset mixed into a
+            # num_negatives=7 spec is valid on the streaming path and must
+            # stay valid pretokenized
+            has_negs = "negative" in MAPPED_NAMES.get(meta.get("objective_type"), [])
+            if self.num_negatives >= 0 and has_negs:
                 m = meta.get("docs_per_query", 1)
                 if m != self.num_negatives + 1:
                     raise ValueError(
                         f"{url} was pretokenized with {m - 1} negatives per "
                         f"query but the config asks for {self.num_negatives} "
                         "— re-run scripts/pretokenize_pairs.py"
+                    )
+            # baked collator settings must match the runtime config, or the
+            # pretokenized datasets silently train on different text than
+            # their on-the-fly neighbors in the same spec
+            pmeta = self.path2meta.get(url, {})
+            runtime = {
+                "add_eos": self.collator.add_eos,
+                "add_prefix": self.collator.add_prefix,
+                "prefixes": pmeta.get("prefixes"),
+                "query_only": pmeta.get("query_only", False),
+            }
+            for k, want in runtime.items():
+                if k in meta and meta[k] != want:
+                    raise ValueError(
+                        f"{url} was pretokenized with {k}={meta[k]!r} but the "
+                        f"run config uses {k}={want!r} — re-run "
+                        "scripts/pretokenize_pairs.py with matching settings"
+                    )
+            for col, spec in meta.get("columns", {}).items():
+                want_len = self.collator.col_max_length.get(col)
+                if want_len is not None and spec["max_length"] != want_len:
+                    raise ValueError(
+                        f"{url} column {col!r} was pretokenized at "
+                        f"max_length={spec['max_length']} but the run config "
+                        f"uses {want_len} — re-run scripts/pretokenize_pairs.py"
                     )
             self._token_shards[url] = sh
         return self._token_shards[url]
@@ -533,7 +563,16 @@ class StreamingShardDataset:
                     np.arange(L, dtype=np.int32)[None, :] < lens[:, None]
                 ).astype(np.int32)
             if sh["meta"].get("kd_scores"):
-                out["kd_scores"] = np.asarray(sh["kd_scores"][start : start + rb], np.float32)
+                kd = np.asarray(sh["kd_scores"][start : start + rb], np.float32)
+                if kd.shape[0] < rb:
+                    # a truncated kd_scores.npy must hit the same
+                    # retry/substitute path as a short token window, not
+                    # surface later as an opaque shape error inside jit
+                    raise ShardReadError(
+                        f"short kd_scores window in {url} @ pair {start}: "
+                        f"{kd.shape[0]} of {rb} rows"
+                    )
+                out["kd_scores"] = kd
         except ShardReadError:
             raise
         except Exception as e:  # noqa: BLE001 — mmap IO error mid-read

@@ -119,8 +119,14 @@ def grad_cache_loss_and_grads(
     d_chunks = _split_chunks(d_batch, chunk_size_d or chunk_size)
     n_q = jax.tree_util.tree_leaves(q_chunks)[0].shape[0]
     n_d = jax.tree_util.tree_leaves(d_chunks)[0].shape[0]
-    k_q = min(int(direct_chunks), n_q)
-    k_d = min(int(direct_chunks if direct_chunks_d is None else direct_chunks_d), n_d)
+    # negative k means "all chunks direct" (the bench's --direct_q -1
+    # convention); without this, x[:k] slicing would silently misbehave
+    def norm_k(k, n):
+        k = int(k)
+        return n if k < 0 else min(k, n)
+
+    k_q = norm_k(direct_chunks, n_q)
+    k_d = norm_k(direct_chunks if direct_chunks_d is None else direct_chunks_d, n_d)
 
     def lead_flat(chunks, k):
         # leading k chunks flattened to one batch (bigger matmuls, one vjp)

@@ -18,7 +18,6 @@ Measures, scan-amortized at the MLM geometry (B=8, S=2048, H=12, D=64, bf16):
 Run: python -m contrastors_tpu.scripts.ablate_rotary_fusion
 """
 import functools
-import time
 
 import jax
 import jax.numpy as jnp
@@ -94,19 +93,7 @@ def fused_flash_fwd(q, k, v, cos_d, sin_d, R):
     )(cos_d, sin_d, cos_d, sin_d, R, q, k, v)
 
 
-def timed(fn, *args):
-    out = jax.jit(fn)(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    # fetch a scalar per run — block_until_ready is unreliable through the
-    # axon tunnel (verify skill)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    _ = float(leaf.reshape(-1)[0])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        out = jax.jit(fn)(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        _ = float(leaf.reshape(-1)[0])
-    return (time.perf_counter() - t0) / 3
+from contrastors_tpu.scripts.ablate_common import timed
 
 
 def main():
@@ -116,16 +103,7 @@ def main():
     v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.bfloat16)
     cos, sin = rotary_cos_sin(S, D)
 
-    def scan_amortize(body):
-        def f(*args):
-            def step(carry, _):
-                out = body(*args, carry)
-                return out, ()
-
-            carry, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), None, length=ITERS)
-            return carry
-
-        return f
+    from contrastors_tpu.scripts.ablate_common import scan_amortize
 
     # A: rotary outside + flash (fwd)
     def a_fwd(q, k, v, carry):
@@ -165,9 +143,9 @@ def main():
     assert err < 0.02, "fused kernel diverges from the shipping path"
 
     flops_attn = 4 * B * H * S * S * D  # qk + pv, fwd
-    t_a = timed(scan_amortize(a_fwd), q, k, v) / ITERS
-    t_b = timed(scan_amortize(b_fwd), qr, kr, v) / ITERS
-    t_c = timed(scan_amortize(c_fwd), qt, kt, vt) / ITERS
+    t_a = timed(scan_amortize(a_fwd, n=ITERS), q, k, v) / ITERS
+    t_b = timed(scan_amortize(b_fwd, n=ITERS), qr, kr, v) / ITERS
+    t_c = timed(scan_amortize(c_fwd, n=ITERS), qt, kt, vt) / ITERS
     print(f"A rotary-outside + flash fwd : {t_a*1e3:8.3f} ms  {flops_attn/t_a/1e12:6.1f} TF/s")
     print(f"B flash fwd alone            : {t_b*1e3:8.3f} ms  {flops_attn/t_b/1e12:6.1f} TF/s")
     print(f"C FUSED rotary flash fwd     : {t_c*1e3:8.3f} ms  {flops_attn/t_c/1e12:6.1f} TF/s")
@@ -191,8 +169,8 @@ def main():
         g = jax.grad(loss, argnums=(0, 1))(q + carry.astype(q.dtype) * 0, k)
         return carry + g[0].astype(jnp.float32).sum() * 0 + 1
 
-    t_afb = timed(scan_amortize(a_fb), q, k, v) / ITERS
-    t_bfb = timed(scan_amortize(b_fb), qr, kr, v) / ITERS
+    t_afb = timed(scan_amortize(a_fb, n=ITERS), q, k, v) / ITERS
+    t_bfb = timed(scan_amortize(b_fb, n=ITERS), qr, kr, v) / ITERS
     print(f"A rotary-outside fwd+bwd     : {t_afb*1e3:8.3f} ms")
     print(f"B flash fwd+bwd alone        : {t_bfb*1e3:8.3f} ms")
     print(f"rotary fwd+bwd overhead      : {(t_afb-t_bfb)*1e3:8.3f} ms ({(t_afb-t_bfb)/t_afb*100:.1f}% of A)")

@@ -15,7 +15,6 @@ isolation (scan-amortized, grads consumed against DCE):
 Run: python -m contrastors_tpu.scripts.ablate_vision [--chunk 32]
 """
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
@@ -23,28 +22,9 @@ import numpy as np
 
 from contrastors_tpu.models.hf_interop_timm import timm_name_to_trunk_config
 
-ITERS = 20
+from contrastors_tpu.scripts.ablate_common import scan_amortize, timed
 
-
-def timed(fn, *args, iters=3):
-    out = jax.jit(fn)(*args)
-    _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jax.jit(fn)(*args)
-        _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
-    return (time.perf_counter() - t0) / iters
-
-
-def scan_amortize(body, n=ITERS):
-    def f(*args):
-        def step(carry, _):
-            return body(*args, carry), ()
-
-        carry, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), None, length=n)
-        return carry
-
-    return f
+ITERS = 20  # scan_amortize default n matches
 
 
 def main():

@@ -67,10 +67,20 @@ def write_token_shard(
     num_negatives: int,
     prefixes=None,
     query_only: bool = False,
+    kd_loss: bool = False,
 ) -> int:
     """Tokenize one source shard's records and write a .tokens directory.
     Returns the number of pairs written."""
     rng = random.Random(0)  # never consumed: sampling is rejected upstream
+    # num_negatives=-1 ("keep all") must resolve to ONE uniform docs-per-query
+    # for the whole shard: the collator's ragged cycle-pad works per CHUNK,
+    # and chunk-local maxima would bake differing row counts into a single
+    # fixed-stride file — the reader's row arithmetic (_read_token_batch)
+    # would then pair queries with other records' documents. Pre-scan the
+    # shard and pad every record to the global max instead.
+    if num_negatives < 0 and "negative" in MAPPED_NAMES[objective["type"]] and records:
+        neg_col = objective["columns"][MAPPED_NAMES[objective["type"]].index("negative")]
+        num_negatives = max(len(r.get(neg_col) or []) for r in records)
     cols: Dict[str, List[np.ndarray]] = {}
     kd: List[np.ndarray] = []
     has_kd = False
@@ -79,7 +89,15 @@ def write_token_shard(
         pairs = []
         for r in chunk:
             p, neg_idx = _extract_pair(r, objective, num_negatives, False, rng)
-            if "negatives_scores" in r and neg_idx is not None:
+            # kd baking follows the SPEC's kd_loss flag — the same gate the
+            # streaming path applies at batch time — never record sniffing,
+            # so behavior cannot diverge after migration
+            if kd_loss and neg_idx is not None:
+                if "document_score" not in r or "negatives_scores" not in r:
+                    raise ValueError(
+                        "kd_loss dataset record lacks document_score/"
+                        "negatives_scores — cannot bake kd_scores"
+                    )
                 p["kd_scores"] = [r["document_score"]] + [
                     r["negatives_scores"][j] for j in neg_idx
                 ]
@@ -119,6 +137,12 @@ def write_token_shard(
     if n_pairs == 0:  # self objective: only query arrays exist
         n_pairs = meta["columns"]["query"]["rows"]
     doc_rows = meta["columns"].get("document", {}).get("rows", n_pairs)
+    if n_pairs and doc_rows % n_pairs:
+        raise ValueError(
+            f"{out_dir}: {doc_rows} document rows not divisible by "
+            f"{n_pairs} queries — non-uniform docs-per-query would corrupt "
+            "the reader's row arithmetic"
+        )
     meta.update(
         n_pairs=n_pairs,
         docs_per_query=doc_rows // max(n_pairs, 1),
@@ -190,6 +214,7 @@ def main():
                 read_jsonl_gz(src), shard_out, collator, ds["objective"],
                 args.num_negatives, prefixes=prefixes,
                 query_only=ds.get("query_only", False),
+                kd_loss=ds.get("kd_loss", False),
             )
             counts[norm_shard_key(shard_out)] = n
             print(f"[pretokenize] {src} -> {shard_out} ({n} pairs)", flush=True)

@@ -407,15 +407,16 @@ def test_save_state_does_not_touch_live_cursor(tmp_path):
     assert flushed != live_before  # the snapshot, not the read-ahead cursor
 
 
-def _pretokenize(tmp_path, spec, **extra_flags):
+def _pretokenize(tmp_path, spec, out_name="pretok", **extra_flags):
     """Run scripts/pretokenize_pairs over `spec`, return the new spec path."""
     import sys
 
     from contrastors_tpu.scripts import pretokenize_pairs as pp
 
     tok_dir = tmp_path / "tok_dir"
-    make_tokenizer(tmp_path).save_pretrained(str(tok_dir))
-    out = tmp_path / "pretok"
+    if not tok_dir.exists():
+        make_tokenizer(tmp_path).save_pretrained(str(tok_dir))
+    out = tmp_path / out_name
     argv = [
         "pretokenize_pairs", "--spec", spec, "--tokenizer", str(tok_dir),
         "--out", str(out),
@@ -427,6 +428,40 @@ def _pretokenize(tmp_path, spec, **extra_flags):
     finally:
         sys.argv = old
     return str(out / "spec.yaml")
+
+
+def make_triplet_bucket(tmp_path, neg_counts=(2, 2, 2, 2), rows=16, scores=False,
+                        kd_loss=None, name="trips"):
+    """Triplet bucket with per-record negative counts cycling through
+    `neg_counts`; optional teacher scores."""
+    import yaml
+
+    bucket = tmp_path / "data" / name
+    bucket.mkdir(parents=True)
+    with gzip.open(bucket / "shard-00000.jsonl.gz", "wt") as f:
+        for r in range(rows):
+            k = neg_counts[r % len(neg_counts)]
+            rec = {
+                "query": f"q word{r % 50}",
+                "document": f"d word{(r * 7) % 50}",
+                "negatives": [f"n word{(r * 3 + j) % 50}" for j in range(k)],
+            }
+            if scores:
+                rec["document_score"] = 1.0
+                rec["negatives_scores"] = [0.5 - 0.01 * j for j in range(k)]
+            f.write(json.dumps(rec) + "\n")
+    build_bucket_index(str(bucket))
+    ds = {
+        "name": name,
+        "bucket": str(bucket / "shard-{00000..00000}.jsonl.gz"),
+        "objective": {"type": "triplet", "columns": ["query", "document", "negatives"]},
+    }
+    if kd_loss is not None:
+        ds["kd_loss"] = kd_loss
+    spec_path = tmp_path / f"spec_{name}.yaml"
+    with open(spec_path, "w") as f:
+        yaml.safe_dump({"datasets": [ds]}, f)
+    return str(spec_path)
 
 
 def test_pretokenized_equals_on_the_fly(tmp_path):
@@ -492,14 +527,123 @@ def test_pretokenized_resume_and_rank_windows(tmp_path):
 
 
 def test_pretokenized_num_negatives_mismatch_raises(tmp_path):
-    """Asking the loader for a different negative count than the shards were
-    written with must fail loudly, not silently mislabel clip_loss."""
+    """Asking the loader for a different negative count than TRIPLET shards
+    were written with must fail loudly, not silently mislabel clip_loss —
+    while a paired dataset (no negatives column) in the same-numbered spec
+    must stay loadable, exactly as it is on the streaming path (round-4
+    review #2)."""
     tok = make_tokenizer(tmp_path)
-    spec = make_bucket(tmp_path)
-    tok_spec = _pretokenize(tmp_path, spec)
+    spec = make_triplet_bucket(tmp_path, neg_counts=(2,))
+    tok_spec = _pretokenize(tmp_path, spec, out_name="pt_trip",
+                            flags=["--num_negatives", "2"])
     ds = StreamingShardDataset(
         tok_spec, global_batch_size=8, tokenizer=tok, seed=0, num_negatives=3,
         state_dir=str(tmp_path / "sn"),
     )
     with pytest.raises(ValueError, match="pretokenized with"):
         next(iter(ds))
+
+    # paired shards: the contract doesn't exist, num_negatives is ignored
+    paired_spec = make_bucket(tmp_path)
+    paired_tok = _pretokenize(tmp_path, paired_spec, out_name="pt_paired")
+    ds2 = StreamingShardDataset(
+        paired_tok, global_batch_size=8, tokenizer=tok, seed=0, num_negatives=3,
+        state_dir=str(tmp_path / "sp"),
+    )
+    b = next(iter(ds2))
+    assert b["document_input_ids"].shape[0] == b["query_input_ids"].shape[0]
+
+
+def test_pretokenize_ragged_chunks_stay_uniform(tmp_path, monkeypatch):
+    """num_negatives=-1 on a ragged corpus spanning multiple writer chunks
+    must produce ONE uniform docs-per-query for the whole shard (round-4
+    review #1: chunk-local cycle-pad maxima silently corrupted the reader's
+    row arithmetic, pairing queries with other records' documents)."""
+    import json as _json
+
+    from contrastors_tpu.scripts import pretokenize_pairs as pp
+
+    # chunk 4 over 12 records: chunk A max 2 negatives, chunk B max 4 —
+    # without the global pre-scan these bake different strides
+    monkeypatch.setattr(pp, "CHUNK", 4)
+    counts = (1, 2, 1, 2, 4, 3, 2, 1, 2, 2, 1, 1)
+    tok = make_tokenizer(tmp_path)
+    spec = make_triplet_bucket(tmp_path, neg_counts=counts, rows=12)
+    tok_spec = _pretokenize(tmp_path, spec, out_name="pt_ragged")
+
+    import yaml
+
+    with open(tok_spec) as f:
+        url = yaml.safe_load(f)["datasets"][0]["bucket"]
+    shard_dir = expand_urls(url)[0].replace("file://", "")
+    with open(os.path.join(shard_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    assert meta["docs_per_query"] == 5  # 1 positive + global max 4 negatives
+    doc_rows = np.load(os.path.join(shard_dir, "document_input_ids.npy"))
+    assert doc_rows.shape[0] == 12 * 5
+
+    # alignment: every pretokenized window equals the on-the-fly batch at
+    # the equivalent fixed num_negatives (= the global max)
+    kw = dict(global_batch_size=4, tokenizer=tok, seed=2, num_negatives=4)
+    fly = StreamingShardDataset(spec, state_dir=str(tmp_path / "f"), **kw)
+    pre = StreamingShardDataset(tok_spec, state_dir=str(tmp_path / "p"), **kw)
+    n = 0
+    for a, b in zip(fly, pre):
+        np.testing.assert_array_equal(a["document_input_ids"], b["document_input_ids"])
+        np.testing.assert_array_equal(a["query_input_ids"], b["query_input_ids"])
+        n += 1
+    assert n == 3
+
+
+def test_pretokenize_kd_follows_spec_flag(tmp_path):
+    """kd_scores baking follows the spec's kd_loss flag — the same gate the
+    streaming path applies — not record sniffing (round-4 review #3)."""
+    import yaml
+
+    tok = make_tokenizer(tmp_path)
+    # records CARRY scores but the spec does not enable kd_loss
+    spec_off = make_triplet_bucket(tmp_path, neg_counts=(2,), scores=True,
+                                   kd_loss=False, name="kdoff")
+    tok_off = _pretokenize(tmp_path, spec_off, out_name="pt_kdoff")
+    ds = StreamingShardDataset(
+        tok_off, global_batch_size=8, tokenizer=tok, seed=0, num_negatives=2,
+        state_dir=str(tmp_path / "k0"),
+    )
+    assert "kd_scores" not in next(iter(ds))
+
+    spec_on = make_triplet_bucket(tmp_path, neg_counts=(2,), scores=True,
+                                  kd_loss=True, name="kdon")
+    tok_on = _pretokenize(tmp_path, spec_on, out_name="pt_kdon")
+    kw = dict(global_batch_size=8, tokenizer=tok, seed=0, num_negatives=2)
+    a = next(iter(StreamingShardDataset(spec_on, state_dir=str(tmp_path / "k1"), **kw)))
+    b = next(iter(StreamingShardDataset(tok_on, state_dir=str(tmp_path / "k2"), **kw)))
+    np.testing.assert_allclose(a["kd_scores"], b["kd_scores"])
+
+    # kd_loss on a corpus with no scores: loud writer error, not a KeyError
+    spec_bad = make_triplet_bucket(tmp_path, neg_counts=(2,), scores=False,
+                                   kd_loss=True, name="kdbad")
+    with pytest.raises(ValueError, match="kd_loss"):
+        _pretokenize(tmp_path, spec_bad, out_name="pt_kdbad")
+
+
+def test_pretokenized_settings_mismatch_raises(tmp_path):
+    """Baked collator settings (add_prefix, max_length) must match the run
+    config, or the dataset silently trains on different text than its
+    on-the-fly neighbors (round-4 review #4)."""
+    tok = make_tokenizer(tmp_path)
+    spec = make_bucket(tmp_path)
+    tok_spec = _pretokenize(tmp_path, spec, out_name="pt_plain")  # no prefix
+
+    ds = StreamingShardDataset(
+        tok_spec, global_batch_size=8, tokenizer=tok, seed=0, add_prefix=True,
+        state_dir=str(tmp_path / "m1"),
+    )
+    with pytest.raises(ValueError, match="add_prefix"):
+        next(iter(ds))
+
+    ds2 = StreamingShardDataset(
+        tok_spec, global_batch_size=8, tokenizer=tok, seed=0,
+        document_max_length=128, state_dir=str(tmp_path / "m2"),
+    )
+    with pytest.raises(ValueError, match="max_length"):
+        next(iter(ds2))

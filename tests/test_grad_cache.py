@@ -90,7 +90,9 @@ def test_grad_cache_hybrid_direct_matches_naive():
 
     naive_loss, naive_grads = jax.value_and_grad(naive)(params)
 
-    for kq, kd in ((1, 1), (4, 4), (2, 0), (0, 3)):
+    # -1 = "all chunks direct" (the bench CLI convention, normalized in
+    # the engine — round-4 review #5)
+    for kq, kd in ((1, 1), (4, 4), (2, 0), (0, 3), (-1, -1)):
         gc_loss, gc_grads = jax.jit(
             lambda p, kq=kq, kd=kd: grad_cache_loss_and_grads(
                 p, batch, batch, encode, encode, loss_fn, chunk_size=4,
