@@ -578,8 +578,8 @@ def main():
         px_u8 = jnp.asarray(rng.integers(0, 256, size=(Bv, 3, img, img)), jnp.uint8)
         t_ids = jnp.asarray(rng.integers(5, 30000, size=(Bv, t_len)), jnp.int32)
         t_mask = jnp.ones_like(t_ids)
-        mean = jnp.asarray(np.array([0.4815, 0.4578, 0.4082], np.float32).reshape(3, 1, 1), jnp.bfloat16)
-        std = jnp.asarray(np.array([0.2686, 0.2613, 0.2758], np.float32).reshape(3, 1, 1), jnp.bfloat16)
+        mean = jnp.asarray(np.array([0.4815, 0.4578, 0.4082], np.float32).reshape(3, 1, 1))
+        std = jnp.asarray(np.array([0.2686, 0.2613, 0.2758], np.float32).reshape(3, 1, 1))
 
         v_params = {
             "vision": vmodel.init(key, pixel_values=jnp.zeros((1, 3, img, img), jnp.bfloat16)),
@@ -592,7 +592,9 @@ def main():
         v_opt = v_tx.init(v_params)
 
         def encode_img(p, b, r):
-            px = (b["px"].astype(jnp.bfloat16) / 255.0 - mean) / std
+            # fp32 normalize then cast — the trainer's shipping semantics
+            # (bit-identical to the host-float32 pipeline under bf16)
+            px = ((b["px"].astype(jnp.float32) / 255.0 - mean) / std).astype(jnp.bfloat16)
             return {"embedding": vmodel.apply(p, pixel_values=px)["embedding"]}
 
         def encode_txt(p, b, r):

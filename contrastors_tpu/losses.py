@@ -115,7 +115,11 @@ def matryoshka_clip_loss(
     bidirectional: bool = False,
 ):
     """Re-normalized prefix-slice losses, weighted sum
-    (reference: trainers/text_text.py:352-369)."""
+    (reference: trainers/text_text.py:352-369).
+
+    Returns (loss, accuracy) like clip_loss; accuracy is the in-batch
+    accuracy at the LARGEST dim (the full embedding — the value the
+    reference's clip_loss logs for the final slice)."""
     if weights is None:
         weights = [1.0] * len(dims)
 
@@ -124,8 +128,10 @@ def matryoshka_clip_loss(
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
     total = 0.0
+    full_acc = jnp.zeros(())
+    max_dim = max(dims)
     for dim, w in zip(dims, weights):
-        loss, _ = clip_loss(
+        loss, acc = clip_loss(
             renorm(query, dim),
             renorm(document, dim),
             logit_scale,
@@ -133,7 +139,9 @@ def matryoshka_clip_loss(
             bidirectional=bidirectional,
         )
         total = total + w * loss
-    return total / sum(weights)
+        if dim == max_dim:
+            full_acc = acc
+    return total / sum(weights), full_acc
 
 
 def router_aux_loss(

@@ -808,10 +808,16 @@ def flash_attention(
     if fused_rot and S != T:
         # decode-style S != T has ambiguous q positions (and a packed
         # position_ids table only covers the q side); rotate outside
+        if rotary_position_ids is not None:
+            raise ValueError(
+                "rotary_position_ids is a [B, S] q-side table and cannot "
+                f"rotate a length-{T} k (S={S} != T); rotate q/k outside "
+                "the kernel for cross-attention rotary"
+            )
         from contrastors_tpu.layers.rotary import apply_rotary
 
-        q = apply_rotary(q, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
-        k = apply_rotary(k, rotary_cos, rotary_sin, rotary_interleaved, rotary_position_ids)
+        q = apply_rotary(q, rotary_cos, rotary_sin, rotary_interleaved)
+        k = apply_rotary(k, rotary_cos, rotary_sin, rotary_interleaved)
         fused_rot = False
 
     if _use_interpret() and not _interpret_enabled():
@@ -880,7 +886,10 @@ def flash_attention(
         if rotary_position_ids is not None:
             cos_q = jnp.take(cos_d, rotary_position_ids, axis=0)  # [B, S, D]
             sin_q = jnp.take(sin_d, rotary_position_ids, axis=0)
-            cos_q, sin_q = _pad_tables(cos_q, sin_q, S_pad)
+            # the kv-side BlockSpec walks T_pad rows; when S_pad < T_pad
+            # (block_kv > block_q at a non-multiple S) the shared table must
+            # cover the longer walk or the kernel reads past its end
+            cos_q, sin_q = _pad_tables(cos_q, sin_q, max(S_pad, T_pad))
             cos_k, sin_k = cos_q, sin_q
         else:
             cos_q, sin_q = _pad_tables(cos_d[:S], sin_d[:S], S_pad)

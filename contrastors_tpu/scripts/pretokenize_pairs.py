@@ -202,6 +202,19 @@ def main():
         os.makedirs(ds_out, exist_ok=True)
         counts = {}
         urls = expand_urls(ds["bucket"])
+        # num_negatives=-1 ("keep all") must resolve to ONE docs-per-query
+        # stride for the WHOLE dataset, not per shard: the streaming reader
+        # validates a single stride per dataset, and shard-local maxima
+        # would silently bake differing row counts across shards. Pre-scan
+        # every shard for the global max before writing any of them.
+        eff_negatives = args.num_negatives
+        if eff_negatives < 0 and "negative" in MAPPED_NAMES[ds["objective"]["type"]]:
+            neg_idx = MAPPED_NAMES[ds["objective"]["type"]].index("negative")
+            neg_col = ds["objective"]["columns"][neg_idx]
+            eff_negatives = 0
+            for url in urls:
+                for r in read_jsonl_gz(url.replace("file://", "")):
+                    eff_negatives = max(eff_negatives, len(r.get(neg_col) or []))
         for url in urls:
             src = url.replace("file://", "")
             stem = Path(src).name
@@ -212,7 +225,7 @@ def main():
             shard_out = os.path.join(ds_out, stem + TOKENS_SUFFIX)
             n = write_token_shard(
                 read_jsonl_gz(src), shard_out, collator, ds["objective"],
-                args.num_negatives, prefixes=prefixes,
+                eff_negatives, prefixes=prefixes,
                 query_only=ds.get("query_only", False),
                 kd_loss=ds.get("kd_loss", False),
             )

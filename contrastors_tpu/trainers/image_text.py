@@ -178,9 +178,12 @@ class ImageTextTrainer(BaseTrainer):
             px = chunk_batch["pixel_values"]
             if px.dtype == jnp.uint8:
                 # pixels ship to the device as uint8 (4x smaller HBM/PCIe
-                # footprint at 16k-batch scale) and normalize per chunk
+                # footprint at 16k-batch scale) and normalize per chunk in
+                # float32 — casting AFTER the normalize keeps the result
+                # bit-identical to the host-float32 pipeline under any
+                # compute dtype (bf16 intermediates would round differently)
                 mean, std = self._pixel_stats()
-                px = (px.astype(self.dtype) / 255.0 - mean) / std
+                px = ((px.astype(jnp.float32) / 255.0 - mean) / std).astype(self.dtype)
             emb = self.dual.apply(
                 params, method=self.dual.encode_image, pixel_values=px,
                 deterministic=False, rngs={"dropout": chunk_rng},
@@ -273,8 +276,9 @@ class ImageTextTrainer(BaseTrainer):
         return train_step
 
     def _pixel_stats(self):
-        """(mean, std) as [3,1,1] arrays in compute dtype for on-device
-        normalization of uint8 pixel batches."""
+        """(mean, std) as float32 [3,1,1] arrays for on-device normalization
+        of uint8 pixel batches (normalize in fp32, cast to compute dtype
+        after — see encode_image)."""
         from contrastors_tpu.config import OPENAI_IMAGE_MEAN, OPENAI_IMAGE_STD
 
         t = self.config.transforms
@@ -284,7 +288,7 @@ class ImageTextTrainer(BaseTrainer):
         std = np.asarray(
             (t.std if t and t.std else OPENAI_IMAGE_STD), np.float32
         ).reshape(3, 1, 1)
-        return jnp.asarray(mean, self.dtype), jnp.asarray(std, self.dtype)
+        return jnp.asarray(mean), jnp.asarray(std)
 
     # -- eval -------------------------------------------------------------
     def eval_loop(self, step: int):

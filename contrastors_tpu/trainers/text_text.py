@@ -536,14 +536,13 @@ class TextTextTrainer(BaseTrainer):
             scale_fn = self._scale_fn(params["logit_scale"])
             metrics = {}
             if matryoshka:
-                loss = matryoshka_clip_loss(
+                loss, acc = matryoshka_clip_loss(
                     q["embedding"],
                     d["embedding"],
                     scale_fn,
                     dims=matryoshka,
                     weights=ta.matryoshka_loss_weights,
                 )
-                acc = jnp.zeros(())
             else:
                 loss, acc = clip_loss(q["embedding"], d["embedding"], scale_fn)
             metrics["accuracy"] = acc

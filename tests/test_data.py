@@ -595,6 +595,52 @@ def test_pretokenize_ragged_chunks_stay_uniform(tmp_path, monkeypatch):
     assert n == 3
 
 
+def test_pretokenize_global_stride_across_shards(tmp_path):
+    """num_negatives=-1 over MULTIPLE source shards with different max
+    negative counts must bake ONE docs-per-query stride for the whole
+    dataset (round-4 advisor #4: per-shard maxima silently varied batch
+    document counts across shards)."""
+    import json as _json
+
+    import yaml
+
+    bucket = tmp_path / "data" / "multi"
+    bucket.mkdir(parents=True)
+    # shard 0: max 1 negative; shard 1: max 3 negatives
+    for s, kmax in enumerate((1, 3)):
+        with gzip.open(bucket / f"shard-{s:05d}.jsonl.gz", "wt") as f:
+            for r in range(8):
+                rec = {
+                    "query": f"q word{r % 50}",
+                    "document": f"d word{(r * 7) % 50}",
+                    "negatives": [f"n word{(r + j) % 50}" for j in range(1 + (r % kmax if kmax > 1 else 0))],
+                }
+                f.write(json.dumps(rec) + "\n")
+    build_bucket_index(str(bucket))
+    spec_path = tmp_path / "spec_multi.yaml"
+    with open(spec_path, "w") as f:
+        yaml.safe_dump(
+            {
+                "datasets": [
+                    {
+                        "name": "multi",
+                        "bucket": str(bucket / "shard-{00000..00001}.jsonl.gz"),
+                        "objective": {"type": "triplet", "columns": ["query", "document", "negatives"]},
+                    }
+                ]
+            },
+            f,
+        )
+    tok_spec = _pretokenize(tmp_path, str(spec_path), out_name="pt_multi")
+    with open(tok_spec) as f:
+        url = yaml.safe_load(f)["datasets"][0]["bucket"]
+    strides = set()
+    for u in expand_urls(url):
+        with open(os.path.join(u.replace("file://", ""), "meta.json")) as f:
+            strides.add(_json.load(f)["docs_per_query"])
+    assert strides == {4}  # 1 positive + global max 3 negatives, BOTH shards
+
+
 def test_pretokenize_kd_follows_spec_flag(tmp_path):
     """kd_scores baking follows the spec's kd_loss flag — the same gate the
     streaming path applies — not record sniffing (round-4 review #3)."""

@@ -420,6 +420,33 @@ def test_flash_fused_rotary_unaligned_seqlen():
     _fused_vs_outside(q, k, v, cos, sin, block_q=128, block_kv=128)
 
 
+def test_flash_fused_rotary_packed_unequal_block_pads():
+    """round_up(S, block_kv) > round_up(S, block_q) on the packed path:
+    the kv-side BlockSpec walks T_pad rows, so the position-gathered
+    [B, S, D] tables must be padded to max(S_pad, T_pad) or the kernel
+    reads blocks past the table's end (round-4 advisor finding)."""
+    rng = np.random.default_rng(37)
+    S = 300  # S_pad = 384 at block_q=128, T_pad = 512 at block_kv=256
+    q, k, v = make_qkv(rng, B=2, S=S)
+    pos = jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (2, 1))
+    cos, sin = rotary_cos_sin(S, 64)
+    _fused_vs_outside(q, k, v, cos, sin, position_ids=pos, block_q=128, block_kv=256)
+
+
+def test_flash_fused_rotary_cross_attention_position_ids_raises():
+    """A [B, S] packed position table cannot rotate a length-T != S k; the
+    wrapper must fail loudly instead of shape-erroring downstream."""
+    rng = np.random.default_rng(38)
+    B, S, T, H, D = 1, 128, 256, 2, 64
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, H, D)), jnp.float32)
+    cos, sin = rotary_cos_sin(T, D)
+    pos = jnp.tile(jnp.arange(S, dtype=jnp.int32)[None], (B, 1))
+    with pytest.raises(ValueError, match="rotary_position_ids"):
+        flash_attention(q, k, v, rotary_cos=cos, rotary_sin=sin, rotary_position_ids=pos)
+
+
 def test_fused_rotary_model_wiring():
     """TrunkConfig.fused_rotary=True routes the layer's rotary tables into
     attention_core and through the kernel; outputs must match the default

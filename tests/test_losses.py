@@ -111,14 +111,17 @@ def test_matryoshka_loss_runs():
     rng = np.random.default_rng(5)
     q = rng.normal(size=(8, 32)).astype(np.float32)
     d = rng.normal(size=(8, 32)).astype(np.float32)
-    loss = matryoshka_clip_loss(
+    loss, acc = matryoshka_clip_loss(
         jnp.asarray(q), jnp.asarray(d), lambda x: x * 10.0, dims=[8, 16, 32]
     )
     assert np.isfinite(float(loss))
-    # full-dim slice must equal plain clip loss on normalized inputs
-    full = matryoshka_clip_loss(jnp.asarray(q), jnp.asarray(d), lambda x: x * 10.0, dims=[32])
-    ref, _ = clip_loss(jnp.asarray(_norm(q)), jnp.asarray(_norm(d)), lambda x: x * 10.0)
+    assert 0.0 <= float(acc) <= 1.0
+    # full-dim slice must equal plain clip loss on normalized inputs, and
+    # the reported accuracy must be the full-dim in-batch accuracy
+    full, full_acc = matryoshka_clip_loss(jnp.asarray(q), jnp.asarray(d), lambda x: x * 10.0, dims=[32])
+    ref, ref_acc = clip_loss(jnp.asarray(_norm(q)), jnp.asarray(_norm(d)), lambda x: x * 10.0)
     np.testing.assert_allclose(float(full), float(ref), rtol=1e-5)
+    np.testing.assert_allclose(float(full_acc), float(ref_acc), rtol=1e-6)
 
 
 def test_router_aux_loss_balanced_is_one():
