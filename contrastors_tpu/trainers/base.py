@@ -335,36 +335,50 @@ class BaseTrainer(ABC):
 
         depth = self.config.parallel_args.prefetch
 
+        def _prepare(host_batch):
+            """Transform + device_put one host batch. Runs in the PREFETCH
+            WORKER thread when prefetching: shard_batch's host->device upload
+            then overlaps the in-flight step instead of serializing in front
+            of the next one (measured 124 ms/batch exposed on a remote-device
+            link for the 512-pair flagship batch — scripts/ablate_e2e.py;
+            device_put is async + thread-safe, so the worker only pays the
+            enqueue)."""
+            host_batch = self.transform_host_batch(host_batch)
+            meta = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
+            arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
+            return meta, arrays, shard_batch(arrays, self.mesh)
+
         def fresh_iter():
             it = iter(self.dataloader)
             if depth and depth > 0:
-                # background thread runs tokenization/decoding while the TPU
-                # executes the previous step (SURVEY.md §7 hard part 7)
-                return PrefetchIterator(it, depth=depth)
-            return it
+                # background thread runs tokenization/decoding AND the
+                # device upload while the TPU executes the previous step
+                # (SURVEY.md §7 hard part 7)
+                return PrefetchIterator(it, transform=_prepare, depth=depth)
+            return map(_prepare, it)
 
         data_iter = fresh_iter()
         lang_losses: dict = {}  # per-language device scalars since last log
         with self.mesh:
             while self.step < self.total_steps:
                 try:
-                    host_batch = next(data_iter)
+                    meta, arrays, batch = next(data_iter)
                 except StopIteration:
                     data_iter = fresh_iter()
-                    host_batch = next(data_iter)
+                    meta, arrays, batch = next(data_iter)
 
-                host_batch = self.transform_host_batch(host_batch)
                 if train_step is None:
+                    # deferred until after the first batch's
+                    # transform_host_batch (queue put/get orders it): the
+                    # packed-auto heuristic may flip the flag the step
+                    # closure branches on
                     train_step = self.make_train_step()
-                meta = {k: v for k, v in host_batch.items() if not isinstance(v, np.ndarray)}
-                arrays = {k: v for k, v in host_batch.items() if isinstance(v, np.ndarray)}
                 if meta.get("cursor_snapshot") is not None and hasattr(
                     self.dataloader, "note_consumed"
                 ):
                     # checkpoint the cursor of the batch being TRAINED on,
                     # not wherever the prefetch worker has read ahead to
                     self.dataloader.note_consumed(meta["cursor_snapshot"])
-                batch = shard_batch(arrays, self.mesh)
 
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.params, self.opt_state, metrics = train_step(
