@@ -72,3 +72,44 @@ def test_token_packer_no_tail_loss_across_batches():
         split.extend(p.add(docs[start : start + 2]))
     assert split == one_shot
     assert len(split) >= 6
+
+
+def test_vision_train_to_signal_world(tmp_path):
+    """The vision train-to-signal corpus builder (scripts/
+    vision_train_to_signal.py): renders are class-consistent and loadable
+    through the real ImageTextDataset, prompts tokenize without [UNK]
+    (the frozen tokenizer must map every zero_shot template word), and the
+    held-out eval set covers every class."""
+    from transformers import BertTokenizerFast
+
+    from contrastors_tpu.data.image_text import ImageTextDataset
+    from contrastors_tpu.eval.zero_shot import PROMPT_TEMPLATES
+    from contrastors_tpu.scripts.vision_train_to_signal import (
+        IMG, build_world, classnames, render, COLORS,
+    )
+
+    text_ckpt, vis_ckpt, pattern, ev_imgs, ev_labels = build_world(tmp_path, n_train=32)
+    names = classnames()
+    assert len(names) == 32
+    assert ev_imgs.shape == (len(names) * 8, IMG, IMG, 3)
+    assert set(ev_labels.tolist()) == set(range(len(names)))
+
+    # every ensemble prompt tokenizes to known ids — no [UNK] collapse
+    tok = BertTokenizerFast.from_pretrained(text_ckpt)
+    prompts = [t.format(c) for c in names for t in PROMPT_TEMPLATES]
+    enc = tok(prompts, padding=False)
+    assert all(tok.unk_token_id not in ids for ids in enc["input_ids"])
+
+    # renders carry their color: the shape's dominant pixel matches the class
+    rng = np.random.default_rng(0)
+    im = render(COLORS["red"], "square", rng)
+    assert (im == np.asarray(COLORS["red"], np.uint8)).all(axis=-1).sum() > 50
+
+    # the shards stream through the real loader at the training geometry
+    ds = ImageTextDataset(
+        pattern, global_batch_size=8, tokenizer=tok, image_size=IMG,
+        seq_len=16, train_num_samples=16, shuffle_buffer=8,
+    )
+    b = next(iter(ds))
+    assert b["pixel_values"].shape == (8, 3, IMG, IMG)
+    assert b["input_ids"].shape == (8, 16)
