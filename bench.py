@@ -523,8 +523,14 @@ def main():
     )
     parser.add_argument("--skip_mlm", action="store_true")
     parser.add_argument("--skip_moe", action="store_true")
+    # MoE towers prefer bigger chunks than dense (more FLOPs/token
+    # amortize dispatch; r5 e2e sweep: 8 -> 167, 16 -> 195, 32 -> 203
+    # pairs/s/chip, 64 OOM on 16 GB; block_m 128 vs 256 a wash, 64 -> 182)
+    parser.add_argument("--moe_chunk", type=int, default=32)
     parser.add_argument("--skip_infer", action="store_true")
-    parser.add_argument("--infer_batch", type=int, default=256, help="texts/chip, inference encode")
+    # 512 is the measured v5e serving optimum at 256 tokens (r5 sweep:
+    # 128 -> 1039, 256 -> 1207, 512 -> 1262, 1024 -> 1221 texts/s/chip)
+    parser.add_argument("--infer_batch", type=int, default=512, help="texts/chip, inference encode")
     parser.add_argument("--skip_vision", action="store_true")
     parser.add_argument("--skip_e2e", action="store_true")
     parser.add_argument(
@@ -815,7 +821,7 @@ def main():
         gc.collect()
         from contrastors_tpu.losses import router_aux_loss
 
-        moe_chunk = args.chunk
+        moe_chunk = args.moe_chunk
         aux_coef = 0.001  # reference router_aux_loss_coef class value
 
         def run_moe(impl):

@@ -6,7 +6,7 @@ jitted SPMD Encoder as a user tool):
 
   python -m contrastors_tpu.scripts.encode \
       --model_name <local HF dir> --input texts.txt --output embs.npy \
-      [--prefix search_document] [--seq_len 512] [--batch_size 64] \
+      [--prefix search_document] [--seq_len 512] [--batch_size 256] \
       [--matryoshka_dim 256] [--binarize]
 
 Input: one text per line (.txt), or jsonl with --column. Output: .npy
@@ -28,7 +28,9 @@ def main():
     parser.add_argument("--output", required=True, help=".npy output path")
     parser.add_argument("--prefix", default=None, help="task prefix, e.g. search_query")
     parser.add_argument("--seq_len", type=int, default=512)
-    parser.add_argument("--batch_size", type=int, default=64)
+    # larger batches amortize dispatch on TPU serving (r5 sweep at 256
+    # tokens: 64-class batches leave ~20% on the table vs 512/chip)
+    parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--pooling", default="mean")
     parser.add_argument("--matryoshka_dim", type=int, default=None)
     parser.add_argument("--binarize", action="store_true")
