@@ -852,8 +852,9 @@ def main():
 
             @jax.jit
             def moe_step(params, opt_state, qb, db, rng):
-                # direct chunks are incompatible with the per-chunk aux
-                # surrogate (trainers/text_text.py:350-353) — fully cached
+                # fully cached: direct chunks compose with the aux since r5
+                # but measure a wash on 16 GB v5e (ROADMAP MoE sweep:
+                # direct_q 4 -> +0.3%, 8 -> -8%, all -> OOM)
                 loss, g_model, g_scale = grad_cache_loss_and_grads(
                     params["model"], qb, db, moe_encode, moe_encode, loss_fn,
                     chunk_size=moe_chunk, rng=rng,

@@ -91,7 +91,11 @@ def grad_cache_loss_and_grads(
     pass-2 re-forward; the remaining chunks use the two-pass cache. This
     trades memory for the structural recompute: the direct fraction costs
     6*P*T instead of 8*P*T per pair. Gradients stay exact for any split
-    (unit-tested). Requires router_aux_coef == 0 for the direct part.
+    (unit-tested). With router_aux_coef != 0 the direct forward runs as a
+    per-chunk vmap instead of one flat batch, so the aux keeps the
+    reference's per-chunk accounting (sum of per-chunk load-balance
+    means, loss.py:158-160) and the SAME fold_in(rng, i) keys as the
+    cached path — direct-vs-cached equality holds chunk-for-chunk.
 
     embed_parallel / embed_parallel_d: pass-1 super-chunking — embed m
     pass-2-sized chunks per lax.map step by vmapping the encoder over the
@@ -104,11 +108,6 @@ def grad_cache_loss_and_grads(
     identical dropout. m is clamped to the largest divisor of the tower's
     chunk count.
     """
-    if (direct_chunks or direct_chunks_d) and router_aux_coef:
-        raise ValueError(
-            "direct_chunks requires router_aux_coef == 0 (the direct path "
-            "carries no per-chunk aux surrogate); keep MoE towers fully cached"
-        )
     if rng is None:
         rng = jax.random.PRNGKey(0)
     rng_q, rng_d = jax.random.split(rng)
@@ -139,19 +138,44 @@ def grad_cache_loss_and_grads(
 
     # ---- direct part: one forward with live activations --------------------
     def direct_embed(encode, base_rng, chunks, k, n_total):
+        """Returns (embeddings, vjp_fn, aux_sum). vjp_fn's cotangent is the
+        (d_embeddings, d_aux) pair — pass router_aux_coef as d_aux so the
+        aux gradient rides the same held vjp."""
         if k == 0:
-            return None, None
+            return None, None, jnp.zeros(())
 
-        def f(p):
-            # a distinct key one past the cached chunk index range
-            out = encode(p, lead_flat(chunks, k), jax.random.fold_in(base_rng, n_total))
-            return out["embedding"]
+        if router_aux_coef:
+            # per-chunk vmap: keeps the reference's per-chunk aux accounting
+            # and the cached path's fold_in(rng, i) keys, while the vmapped
+            # tower still batches its matmuls across the k chunks
+            lead = jax.tree_util.tree_map(lambda x: x[:k], chunks)
+            idx = jnp.arange(k)
 
-        embs, vjp_fn = jax.vjp(f, params)
-        return embs, vjp_fn
+            def f(p):
+                keys = jax.vmap(lambda i: jax.random.fold_in(base_rng, i))(idx)
+                outs = jax.vmap(
+                    lambda ch, kk: encode(p, ch, kk), in_axes=(0, 0)
+                )(lead, keys)
+                e = outs["embedding"]
+                embs = e.reshape(e.shape[0] * e.shape[1], e.shape[-1])
+                aux = outs.get("router_aux")
+                aux_sum = (
+                    jnp.zeros(()) if aux is None else jnp.sum(aux.astype(jnp.float32))
+                )
+                return embs, aux_sum
 
-    q_direct, q_vjp = direct_embed(encode_q, rng_q, q_chunks, k_q, n_q)
-    d_direct, d_vjp = direct_embed(encode_d, rng_d, d_chunks, k_d, n_d)
+        else:
+
+            def f(p):
+                # a distinct key one past the cached chunk index range
+                out = encode(p, lead_flat(chunks, k), jax.random.fold_in(base_rng, n_total))
+                return out["embedding"], jnp.zeros(())
+
+        (embs, aux_sum), vjp_fn = jax.vjp(f, params)
+        return embs, vjp_fn, aux_sum
+
+    q_direct, q_vjp, q_direct_aux = direct_embed(encode_q, rng_q, q_chunks, k_q, n_q)
+    d_direct, d_vjp, d_direct_aux = direct_embed(encode_d, rng_d, d_chunks, k_d, n_d)
     q_cached_chunks = rest(q_chunks, k_q)
     d_cached_chunks = rest(d_chunks, k_d)
 
@@ -255,17 +279,20 @@ def grad_cache_loss_and_grads(
         )
         return acc, aux_sum
 
+    aux_cot = jnp.asarray(router_aux_coef, jnp.float32)
     grads = zero_grads
     total_aux = jnp.zeros(())
     if q_vjp is not None:
-        (g_direct,) = q_vjp(gq_direct.astype(q_direct.dtype))
+        (g_direct,) = q_vjp((gq_direct.astype(q_direct.dtype), aux_cot))
         grads = jax.tree_util.tree_map(jnp.add, grads, g_direct)
+        total_aux = total_aux + q_direct_aux
     grads, aux = accumulate(encode_q, rng_q, q_cached_chunks, gq, grads, k_q)
     total_aux = total_aux + aux
     if d_trainable:
         if d_vjp is not None:
-            (g_direct,) = d_vjp(gd_direct.astype(d_direct.dtype))
+            (g_direct,) = d_vjp((gd_direct.astype(d_direct.dtype), aux_cot))
             grads = jax.tree_util.tree_map(jnp.add, grads, g_direct)
+            total_aux = total_aux + d_direct_aux
         grads, aux = accumulate(encode_d, rng_d, d_cached_chunks, gd, grads, k_d)
         total_aux = total_aux + aux
 

@@ -347,10 +347,11 @@ class TextTextTrainer(BaseTrainer):
 
         if ta.grad_cache:
             chunk = ta.chunk_size or 64
-            # hybrid direct mode is incompatible with the per-chunk MoE aux
-            # surrogate; silently fall back to fully-cached for MoE towers
-            direct_q = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_q", 0)
-            direct_d = 0 if use_moe else getattr(ta, "grad_cache_direct_chunks_d", 0)
+            # hybrid direct mode composes with MoE since round 5: the direct
+            # forward runs per-chunk (vmap) when router_aux_coef != 0, so the
+            # aux keeps its per-chunk accounting (grad_cache.direct_embed)
+            direct_q = getattr(ta, "grad_cache_direct_chunks_q", 0)
+            direct_d = getattr(ta, "grad_cache_direct_chunks_d", 0)
             embed_par = getattr(ta, "grad_cache_embed_parallel", 1)
 
             # Sharding (SURVEY §7 hard part 8): the grad-cache chunk loop is a

@@ -110,14 +110,55 @@ def test_grad_cache_hybrid_direct_matches_naive():
                 err_msg=f"direct=({kq},{kd}) {p1}",
             )
 
-    # the aux-loss guard: direct mode refuses MoE surrogate coupling
-    import pytest
 
-    with pytest.raises(ValueError, match="router_aux_coef"):
-        grad_cache_loss_and_grads(
-            params, batch, batch, encode, encode, loss_fn, chunk_size=4,
-            direct_chunks=1, router_aux_coef=0.01,
+def test_grad_cache_direct_with_router_aux_matches_cached():
+    """Direct chunks compose with the MoE router aux (round 5): the direct
+    forward runs PER-CHUNK (vmap) when router_aux_coef != 0, preserving the
+    reference's per-chunk aux accounting exactly — sum of per-chunk values,
+    loss.py:158-160. The fully-cached mode is the ground truth; the aux is
+    a deliberately NONLINEAR per-chunk statistic so a flat-batch aux (the
+    aux-free direct formulation) would NOT match."""
+    model, params, encode, batch = _setup()
+    coef = 0.05
+
+    def aux_encode(p, b, rng_key):
+        out = encode(p, b, rng_key)
+        emb = out["embedding"]
+        # mean-of-squares over the chunk: sum_k aux_k != aux(flat batch)
+        out["router_aux"] = jnp.mean(jnp.square(jnp.sum(emb, axis=0)))
+        return out
+
+    def loss_fn(q, d):
+        return clip_loss(q, d, lambda x: x * 10.0)[0]
+
+    ref_loss, ref_grads = jax.jit(
+        lambda p: grad_cache_loss_and_grads(
+            p, batch, batch, aux_encode, aux_encode, loss_fn, chunk_size=4,
+            router_aux_coef=coef,
         )
+    )(params)
+    assert np.isfinite(float(ref_loss))
+
+    for kq, kd in ((1, 0), (2, 2), (-1, -1)):
+        gc_loss, gc_grads = jax.jit(
+            lambda p, kq=kq, kd=kd: grad_cache_loss_and_grads(
+                p, batch, batch, aux_encode, aux_encode, loss_fn, chunk_size=4,
+                direct_chunks=kq, direct_chunks_d=kd, router_aux_coef=coef,
+            )
+        )(params)
+        np.testing.assert_allclose(
+            float(gc_loss), float(ref_loss), rtol=1e-5,
+            err_msg=f"direct=({kq},{kd})",
+        )
+        for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_grads),
+            jax.tree_util.tree_leaves_with_path(gc_grads),
+        ):
+            assert p1 == p2
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5,
+                err_msg=f"direct=({kq},{kd}) {p1}",
+            )
 
 
 def test_grad_cache_embed_parallel_exact():
