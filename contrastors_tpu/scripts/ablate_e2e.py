@@ -109,13 +109,19 @@ def main():
     # -- shard/transfer of one host batch (RTT-corrected per fetched leaf) ---
     tr = build(pretok_spec)
     with tr.mesh:
+        # sync each leaf via a warmed jitted scalar reduction: indexing a
+        # fresh device array (`v.reshape(-1)[0]`) can round-trip the WHOLE
+        # buffer back through a remote-device link, double-counting the
+        # upload being measured (see .claude/skills/verify/SKILL.md)
+        reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
+
         def put_and_sync():
             b = shard_batch(arrays, tr.mesh)
-            for v in b.values():  # one element per leaf proves arrival
-                _ = float(v.reshape(-1)[0])
+            for v in b.values():  # one scalar per leaf proves arrival
+                _ = float(reduce(v))
             return b
 
-        put_and_sync()
+        put_and_sync()  # warm: compiles `reduce` for every leaf shape
         n_leaves = len(arrays)
         ms, all_ms = median_ms(put_and_sync, args.iters)
         results["shard_transfer_ms"] = round(max(ms - n_leaves * rtt_ms, 0.0), 1)
