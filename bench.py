@@ -429,6 +429,32 @@ def mixed_length_encode(model, model_params, n_chips, iters, n_texts=2048, batch
         out[f"mixed_{mode}_texts_per_sec_chip"] = round(n_texts / dt / n_chips, 1)
         out[f"mixed_{mode}_wall_ms"] = round(dt * 1000, 1)
         out[f"mixed_{mode}_device_ms"] = round(dev_ms[0] / n_iters * 1000, 1)
+
+        # pure device compute, tunnel-independent: device_ms above includes
+        # fetching every [B, 768] embedding through the dev tunnel — a flat
+        # ~6 MB/corpus cost IDENTICAL in both modes that masks the bucketing
+        # win and tracks session bandwidth (the vision-e2e lesson). Sync via
+        # a warmed scalar reduction instead and discard the embeddings.
+        reduce = jax.jit(lambda x: jnp.sum(x))
+        emb_dim = embs[mode].shape[-1]
+        comp_ms = [0.0]
+
+        def compute_run(ids, mask, _enc=enc, _acc=comp_ms, _red=reduce, _d=emb_dim):
+            t0 = time.perf_counter()
+            i, m = jnp.asarray(ids), jnp.asarray(mask)
+            if _enc._batch_sharding is not None:
+                i = jax.device_put(i, _enc._batch_sharding)
+                m = jax.device_put(m, _enc._batch_sharding)
+            _ = float(_red(_enc._encode_fn(_enc.params, i, m)))
+            _acc[0] += time.perf_counter() - t0
+            return np.zeros((ids.shape[0], _d), np.float32)
+
+        enc._run_batch = compute_run
+        enc.encode(texts)  # warm: compiles `reduce` for every bucket shape
+        comp_ms[0] = 0.0
+        for _ in range(n_iters):
+            enc.encode(texts)
+        out[f"mixed_{mode}_compute_ms"] = round(comp_ms[0] / n_iters * 1000, 1)
     # embeddings must agree (bucketing is execution-only)
     cos = float(
         np.min(np.sum(embs["fixed"] * embs["bucketed"], axis=-1))
@@ -438,6 +464,9 @@ def mixed_length_encode(model, model_params, n_chips, iters, n_texts=2048, batch
     )
     out["mixed_bucketed_speedup_device"] = round(
         out["mixed_fixed_device_ms"] / out["mixed_bucketed_device_ms"], 3
+    )
+    out["mixed_bucketed_speedup_compute"] = round(
+        out["mixed_fixed_compute_ms"] / out["mixed_bucketed_compute_ms"], 3
     )
     out["mixed_min_cosine_fixed_vs_bucketed"] = round(cos, 6)
     out["mixed_median_tokens"] = int(np.median(lens)) + 2  # + CLS/SEP
@@ -467,16 +496,21 @@ def long_context_encode(n_chips, n_params, peak_tflops, iters=3):
     def infer(p, ids, mask):
         return model.apply(p, input_ids=ids, attention_mask=mask)["embedding"]
 
+    # sync each timed call via a warmed jitted scalar reduction: indexing a
+    # fresh device array (emb[0, 0]) can round-trip the WHOLE buffer back
+    # through the remote-device tunnel (see .claude/skills/verify/SKILL.md),
+    # inflating the latency being measured
+    reduce = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
     rows = []
     for S in (2048, 4096, 8192):
         Bs = max(1, 65536 // S) * n_chips
         ids = jnp.asarray(rng.integers(5, 30000, size=(Bs, S)), jnp.int32)
         mask = jnp.ones_like(ids)
-        emb = infer(params, ids, mask)
-        _ = float(emb[0, 0])
+        _ = float(reduce(infer(params, ids, mask)))  # warm: infer + reduce
         t0 = time.perf_counter()
         for _ in range(iters):
-            _ = float(infer(params, ids, mask)[0, 0])
+            _ = float(reduce(infer(params, ids, mask)))
         dt = (time.perf_counter() - t0) / iters
         tok_s = Bs * S / dt / n_chips
         rows.append(
@@ -490,6 +524,73 @@ def long_context_encode(n_chips, n_params, peak_tflops, iters=3):
             }
         )
     return rows
+
+
+def build_headline_step(chunk, B, direct_q, direct_d, embed_parallel=1):
+    """The headline grad-cache train step: flagship trunk + AdamW in one jit.
+
+    Single source of truth for the step behind the headline number — main()
+    times it on synthetic batches and scripts/ablate_e2e.py baselines its
+    attribution table against it ("bare_step"), so the two cannot drift
+    (round-5 review finding). direct_q < 0 means all query chunks direct.
+
+    Returns a dict: step, params, opt_state, model, scale_mod, loss_fn,
+    encode, n_params.
+    """
+    from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
+    from contrastors_tpu.losses import clip_loss
+    from contrastors_tpu.models.biencoder import BiEncoder, LogitScale
+    from contrastors_tpu.models.presets import nomic_bert_2048
+    from contrastors_tpu.utils.optim import make_optimizer
+
+    model = BiEncoder(
+        config=nomic_bert_2048(attn_impl="flash"), pooling="mean", dtype=jnp.bfloat16
+    )
+    scale_mod = LogitScale(logit_scale_init=50.0, trainable=False)
+    key = jax.random.PRNGKey(0)
+    dummy = jnp.ones((2, 32), jnp.int32)  # init depends on shapes only
+    params = {
+        "model": model.init(key, input_ids=dummy, attention_mask=dummy),
+        "logit_scale": scale_mod.init(key, jnp.ones(())),
+    }
+    tx = make_optimizer(params, 2e-4, weight_decay=0.01, max_grad_norm=1.0)
+    opt_state = tx.init(params)
+
+    def encode(p, b, r):
+        return {
+            "embedding": model.apply(p, input_ids=b["ids"], attention_mask=b["mask"])["embedding"]
+        }
+
+    def loss_fn(q, d, scale_params):
+        loss, _ = clip_loss(q, d, lambda x: scale_mod.apply(scale_params, x))
+        return loss
+
+    if direct_q < 0:
+        direct_q = B // chunk
+
+    @jax.jit
+    def step(params, opt_state, qb, db, rng):
+        loss, g_model, g_scale = grad_cache_loss_and_grads(
+            params["model"], qb, db, encode, encode, loss_fn,
+            chunk_size=chunk, rng=rng, extra_params=params["logit_scale"],
+            direct_chunks=direct_q, direct_chunks_d=direct_d,
+            embed_parallel=embed_parallel,
+        )
+        grads = {"model": g_model, "logit_scale": g_scale}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return {
+        "step": step,
+        "params": params,
+        "opt_state": opt_state,
+        "model": model,
+        "scale_mod": scale_mod,
+        "loss_fn": loss_fn,
+        "encode": encode,
+        "tx": tx,
+        "n_params": sum(x.size for x in jax.tree_util.tree_leaves(params)),
+    }
 
 
 def main():
@@ -562,8 +663,6 @@ def main():
     q_len, d_len = 32, 256
 
     cfg = nomic_bert_2048(attn_impl="flash")
-    model = BiEncoder(config=cfg, pooling="mean", dtype=jnp.bfloat16)
-    scale_mod = LogitScale(logit_scale_init=50.0, trainable=False)
 
     rng = np.random.default_rng(0)
     B = per_chip_batch * n_chips
@@ -573,36 +672,13 @@ def main():
     d_mask = jnp.ones_like(d_ids)
 
     key = jax.random.PRNGKey(0)
-    params = {
-        "model": model.init(key, input_ids=q_ids[:2], attention_mask=q_mask[:2]),
-        "logit_scale": scale_mod.init(key, jnp.ones(())),
-    }
-    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
-    tx = make_optimizer(params, 2e-4, weight_decay=0.01, max_grad_norm=1.0)
-    opt_state = tx.init(params)
-
-    def encode(p, b, r):
-        return {
-            "embedding": model.apply(p, input_ids=b["ids"], attention_mask=b["mask"])["embedding"]
-        }
-
-    def loss_fn(q, d, scale_params):
-        loss, _ = clip_loss(q, d, lambda x: scale_mod.apply(scale_params, x))
-        return loss
-
+    hl = build_headline_step(
+        chunk, B, args.direct_q, args.direct_d, embed_parallel=args.embed_parallel
+    )
+    step, params, opt_state = hl["step"], hl["params"], hl["opt_state"]
+    model, scale_mod, loss_fn = hl["model"], hl["scale_mod"], hl["loss_fn"]
+    encode, tx, n_params = hl["encode"], hl["tx"], hl["n_params"]
     direct_q = (B // chunk) if args.direct_q < 0 else args.direct_q
-
-    @jax.jit
-    def step(params, opt_state, qb, db, rng):
-        loss, g_model, g_scale = grad_cache_loss_and_grads(
-            params["model"], qb, db, encode, encode, loss_fn,
-            chunk_size=chunk, rng=rng, extra_params=params["logit_scale"],
-            direct_chunks=direct_q, direct_chunks_d=args.direct_d,
-            embed_parallel=args.embed_parallel,
-        )
-        grads = {"model": g_model, "logit_scale": g_scale}
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
 
     qb = {"ids": q_ids, "mask": q_mask}
     db = {"ids": d_ids, "mask": d_mask}
@@ -723,11 +799,13 @@ def main():
         def infer(p, ids, mask):
             return model.apply(p, input_ids=ids, attention_mask=mask)["embedding"]
 
-        emb = infer(params["model"], i_ids, i_mask)
-        _ = float(emb[0, 0])
+        # sync via a warmed scalar reduction — indexing the fresh embedding
+        # (emb[0, 0]) can round-trip the whole [B, 768] buffer per call
+        reduce_i = jax.jit(lambda x: jnp.sum(x))
+        _ = float(reduce_i(infer(params["model"], i_ids, i_mask)))
         t0 = time.perf_counter()
         for _ in range(iters):
-            _ = float(infer(params["model"], i_ids, i_mask)[0, 0])
+            _ = float(reduce_i(infer(params["model"], i_ids, i_mask)))
         dt_i = (time.perf_counter() - t0) / iters
         texts_per_sec_chip = Bi / dt_i / n_chips
         infer_detail = {
@@ -747,14 +825,17 @@ def main():
     # -- secondary: MLM pretrain step at seq 2048 (the nomic-bert-2048
     # recipe, reference configs/train/mlm.yaml) — the workload that runs
     # the Pallas flash kernel (kv 2048 >= the 512 dispatch gate)
+    # free the contrastive state before the remaining train-step sections
+    # (MLM/MoE/vision build their own): with it resident, the no-remat MLM
+    # step thrashes HBM (measured 429 tok/s vs 66k clean) and the MoE/vision
+    # states would stack on top of it regardless of --skip_mlm
+    import gc
+
+    del params, opt_state, loss
+    gc.collect()
+
     mlm_detail = None
     if not args.skip_mlm:
-        # free the contrastive state first: with it resident, the no-remat
-        # MLM step thrashes HBM (measured 429 tok/s vs 66k clean)
-        import gc
-
-        del params, opt_state, loss
-        gc.collect()
         from contrastors_tpu.models.nomic_bert import NomicBertForPreTraining
         from contrastors_tpu.trainers.mlm import dense_budget, masked_positions_static
 

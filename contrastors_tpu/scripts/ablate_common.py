@@ -12,15 +12,21 @@ import jax.numpy as jnp
 
 
 def timed(fn, *args, iters=3):
-    """Median-free average of `iters` runs of jit(fn)(*args), tunnel-safe
-    (scalar fetch per run). The jit cache makes repeated jax.jit(fn) calls
-    hit the same executable."""
-    out = jax.jit(fn)(*args)
-    _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+    """Median-free average of `iters` runs of jit(fn)(*args), tunnel-safe:
+    each run syncs by fetching the scalar of a warmed jitted reduction over
+    the first output leaf. (Indexing the fresh leaf — reshape(-1)[0] — can
+    round-trip the WHOLE buffer through the tunnel; constant per variant at
+    a fixed output shape, so earlier A/B ablation verdicts stand, but it
+    inflated absolute ms on large outputs.) The jit cache makes repeated
+    jax.jit(fn) calls hit the same executable."""
+    jfn = jax.jit(fn)
+    red = jax.jit(lambda x: jnp.sum(x))
+    out = jfn(*args)
+    _ = float(red(jax.tree_util.tree_leaves(out)[0]))  # warm fn + reduction
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = jax.jit(fn)(*args)
-        _ = float(jax.tree_util.tree_leaves(out)[0].reshape(-1)[0])
+        out = jfn(*args)
+        _ = float(red(jax.tree_util.tree_leaves(out)[0]))
     return (time.perf_counter() - t0) / iters
 
 

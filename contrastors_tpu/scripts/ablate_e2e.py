@@ -153,14 +153,24 @@ def main():
     for name, sp in specs:
         tr = build(sp)
         tr_step = tr.make_train_step()
-        depth = args.prefetch_depth or tr.config.parallel_args.prefetch
+        depth = (
+            tr.config.parallel_args.prefetch
+            if args.prefetch_depth is None
+            else args.prefetch_depth
+        )
 
         def prepare(hb, _tr=tr):
             # device_put in the worker, as the shipping loop does
             a = {k: v for k, v in hb.items() if isinstance(v, np.ndarray)}
             return shard_batch(a, _tr.mesh)
 
-        it = PrefetchIterator(iter(tr.dataloader), transform=prepare, depth=depth)
+        if depth > 0:
+            it = PrefetchIterator(iter(tr.dataloader), transform=prepare, depth=depth)
+        else:
+            # --prefetch_depth 0: the no-overlap ablation — build + upload
+            # serially in front of every step (PrefetchIterator with depth 0
+            # would be an UNBOUNDED queue, not "no prefetch")
+            it = map(prepare, iter(tr.dataloader))
         params, opt_state = tr.params, tr.opt_state
         rng_key = jax.random.PRNGKey(0)
         with tr.mesh:
@@ -180,46 +190,14 @@ def main():
         gc.collect()
 
     # -- bare headline step (no trainer wrapper), same knobs ------------------
-    from contrastors_tpu.grad_cache import grad_cache_loss_and_grads
-    from contrastors_tpu.losses import clip_loss
-    from contrastors_tpu.models.biencoder import BiEncoder, LogitScale
-    from contrastors_tpu.models.presets import nomic_bert_2048
-    from contrastors_tpu.utils.optim import make_optimizer
-    import optax
-
-    model = BiEncoder(config=nomic_bert_2048(attn_impl="flash"), pooling="mean", dtype=jnp.bfloat16)
-    scale_mod = LogitScale(logit_scale_init=50.0, trainable=False)
+    # the EXACT step main() times: shared builder so the baseline the whole
+    # attribution table is computed from cannot drift from the headline
+    hl = bench.build_headline_step(args.chunk, B, args.direct_q, args.direct_d)
+    bare, params, opt_state = hl["step"], hl["params"], hl["opt_state"]
     qb = {"ids": jnp.asarray(arrays["query_input_ids"]),
           "mask": jnp.asarray(arrays["query_attention_mask"])}
     db = {"ids": jnp.asarray(arrays["document_input_ids"]),
           "mask": jnp.asarray(arrays["document_attention_mask"])}
-    key = jax.random.PRNGKey(0)
-    params = {
-        "model": model.init(key, input_ids=qb["ids"][:2], attention_mask=qb["mask"][:2]),
-        "logit_scale": scale_mod.init(key, jnp.ones(())),
-    }
-    tx = make_optimizer(params, 2e-4, weight_decay=0.01, max_grad_norm=1.0)
-    opt_state = tx.init(params)
-
-    def encode(p, b, r):
-        return {"embedding": model.apply(p, input_ids=b["ids"], attention_mask=b["mask"])["embedding"]}
-
-    def loss_fn(q, d, sp):
-        loss, _ = clip_loss(q, d, lambda x: scale_mod.apply(sp, x))
-        return loss
-
-    direct_q = (B // args.chunk) if args.direct_q < 0 else args.direct_q
-
-    @jax.jit
-    def bare(params, opt_state, qb, db, rng):
-        loss, gm, gs = grad_cache_loss_and_grads(
-            params["model"], qb, db, encode, encode, loss_fn,
-            chunk_size=args.chunk, rng=rng, extra_params=params["logit_scale"],
-            direct_chunks=direct_q, direct_chunks_d=args.direct_d,
-        )
-        grads = {"model": gm, "logit_scale": gs}
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
 
     rng_key = jax.random.PRNGKey(0)
 
